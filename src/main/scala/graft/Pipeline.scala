@@ -1,0 +1,75 @@
+package graft
+
+import graft.model.Ns
+import graft.operators._
+import graft.sources.SynthTranscripts
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end stage wiring (SURVEY.md §3.1 Spark trace):
+  * transcripts → mentions → broadcast-linked → triple emit → sameAs closure
+  * → canonical triple table. Each stage is exposed as a DataFrame factory so
+  * SparkEntry.queries can surface any intermediate for the correctness gate.
+  */
+object Pipeline {
+
+  def transcripts(s: SparkSession, d: String): DataFrame =
+    SynthTranscripts(s, d)
+
+  def mentions(s: SparkSession, d: String): DataFrame =
+    Mentions.extract(transcripts(s, d))
+
+  def linked(s: SparkSession, d: String): DataFrame =
+    Link.linkAll(s, d, mentions(s, d))
+
+  def triples(s: SparkSession, d: String): DataFrame =
+    Emit.allTriples(s, d, transcripts(s, d), linked(s, d))
+
+  def sameAsClusters(s: SparkSession, d: String): DataFrame =
+    SameAs.closure(SameAs.edgesOf(triples(s, d)))
+
+  def canonTriples(s: SparkSession, d: String): DataFrame = {
+    val t = triples(s, d)
+    SameAs.canonicalize(t, SameAs.closure(SameAs.edgesOf(t)))
+  }
+
+  /** Context ordinals (W1/A5) surfaced directly for verification. */
+  def ordinals(s: SparkSession, d: String): DataFrame = {
+    val emitting = linked(s, d).filter(
+      !col("kind").isin("place", "place_left") || col("matched"))
+    val w = Window.partitionBy(col("conv_id"), col("kind"))
+      .orderBy(col("turn_idx"))
+    emitting.select(col("conv_id"), col("turn_idx"), col("kind"))
+      .withColumn("ordinal", row_number().over(w))
+      .withColumn("ctx_uri",
+        concat(lit(Ns.ctx), col("conv_id"), lit("_"), col("kind"),
+          lit("Context_"), col("ordinal").cast("string")))
+  }
+
+  /** W2 "closest heading": each turn gets the text of the nearest
+    * role=system turn at-or-before it, falling back to the nearest after
+    * (`Utils/context.py:61-92`). Pure window functions, co-partitioned with
+    * the conv bucketing — one shuffle on conv_id.
+    */
+  def headings(s: SparkSession, d: String): DataFrame = {
+    val tr = transcripts(s, d)
+    val h = when(col("role") === "system", col("text"))
+    val before = Window.partitionBy("conv_id").orderBy("turn_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val after = Window.partitionBy("conv_id").orderBy("turn_idx")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    tr.select(col("conv_id"), col("turn_idx"),
+      coalesce(
+        last(h, ignoreNulls = true).over(before),
+        first(h, ignoreNulls = true).over(after),
+        lit("")).as("heading"))
+  }
+
+  /** A7 "first mentioned" person per conversation
+    * (`Biography/biography.py:139-144`: mother/father = first mentioned). */
+  def firstPerson(s: SparkSession, d: String): DataFrame =
+    linked(s, d).filter(col("kind") === "person")
+      .groupBy("conv_id")
+      .agg(min_by(col("obj_value"), col("turn_idx")).as("first_person"))
+}

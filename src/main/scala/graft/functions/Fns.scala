@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar column expressions mirroring the reference's string/URI/date
+  * helpers (SURVEY.md §2.8). Everything here is a pure Catalyst Column
+  * expression — no UDFs — so the whole extraction path stays inside
+  * whole-stage codegen and predicate pushdown keeps working.
+  *
+  * Each function cites the reference code whose semantics it reproduces.
+  */
+object Fns {
+
+  /** `clean_term` — the cultural-form variant of the reference's term
+    * normalizer (`Biography/culturalForm.py:513-521`):
+    * lowercase → "-"→" " → strip → remove spaces → drop trailing "s" →
+    * drop trailing "ism"/"ist"/"ing" → drop trailing "er".
+    * Applied to BOTH sides of every dictionary link (J1 in SURVEY.md §2.3).
+    */
+  def cleanTerm(c: Column): Column = {
+    val t0 = regexp_replace(trim(regexp_replace(lower(c), "-", " ")), " ", "")
+    val t1 = when(t0.endsWith("s"), t0.substr(lit(1), length(t0) - 1)).otherwise(t0)
+    val suf3 = t1.substr(length(t1) - 2, lit(3))
+    val t2 = when(length(t1) >= 3 && suf3.isin("ism", "ist", "ing"),
+      t1.substr(lit(1), length(t1) - 3)).otherwise(t1)
+    val t3 = when(t2.endsWith("er"), t2.substr(lit(1), length(t2) - 2)).otherwise(t2)
+    t3
+  }
+
+  /** The simple normalizer variant used by occupation/birth-death linking
+    * (`Biography/occupation.py:184-186`, `birthDeath.py:24-26`):
+    * only lowercase + strip hyphens/whitespace, no suffix stemming.
+    */
+  def cleanTermSimple(c: Column): Column =
+    regexp_replace(trim(regexp_replace(lower(c), "-", " ")), " ", "")
+
+  /** `remove_punctuation` + space→underscore + special folds
+    * (`Utils/utilities.py:221-235`). Feeds URI minting, so it must be
+    * deterministic and byte-stable. The reference keeps "-" (its v2
+    * comment at utilities.py:311), strips other ASCII punctuation, maps
+    * " "→"_", "¾"→"3-4", "©"→"c", "Ã"→"A", then unidecode-folds.
+    * We implement the punctuation strip + the explicit fold table; the
+    * general unidecode table is reduced to the Latin-1 accent folds that
+    * can actually occur in our value domain (translate() below).
+    */
+  def removePunctuation(c: Column): Column = {
+    // "¾"→"3-4" needs a multi-char replacement, do it before translate:
+    val pre = regexp_replace(regexp_replace(c, "¾", "3-4"), "©", "c")
+    val folded2 = translate(pre,
+      "ÃÀÁÂÄàáâäÈÉÊËèéêëÌÍÎÏìíîïÒÓÔÖòóôöÙÚÛÜùúûüÑñÇç",
+      "AAAAAaaaaaEEEEeeeeIIIIiiiiOOOOooooUUUUuuuuNnCc")
+    val noPunct = regexp_replace(folded2, """[!"#$%&'()*+,./:;<=>?@\[\\\]^`{|}~_]""", "")
+    regexp_replace(noPunct, " ", "_")
+  }
+
+  /** `make_standard_uri` (`Utils/utilities.py:307-316`): namespace prepend
+    * of the cleaned term. */
+  def mintUri(ns: String, term: Column): Column =
+    concat(lit(ns), removePunctuation(term))
+
+  /** `strip_all_whitespace` (`Utils/utilities.py:210-212`). */
+  def stripAllWhitespace(c: Column): Column = regexp_replace(c, "\\s+", "")
+
+  /** `split_by_casing` (`Utils/utilities.py:215-216`): camelCase → words. */
+  def splitByCasing(c: Column): Column =
+    array_join(regexp_extract_all(c, lit("^[a-z]+|[A-Z][^A-Z]*"), lit(0)), " ")
+
+  /** `limit_words(s, n)` (`Utils/utilities.py:242-263`, has doctests):
+    * collapse whitespace, keep first n words, append "..." if truncated.
+    */
+  def limitWords(c: Column, n: Int): Column = {
+    val wordsArr = split(trim(regexp_replace(c, "\\s+", " ")), " ")
+    val kept = array_join(slice(wordsArr, 1, n), " ")
+    when(size(wordsArr) > n, concat(kept, lit("..."))).otherwise(kept)
+  }
+
+  /** Snippet builder core (`Utils/context.py:256-281` F7): here the
+    * transcript graft needs only: collapse whitespace, cap words, trim.
+    * Exact replay order matters for text-equality parity with the oracle.
+    */
+  def snippet(c: Column, maxWords: Int = 20): Column = limitWords(c, maxWords)
+
+  /** `format_date` length-dispatch (`Utils/activity.py:52-73`,
+    * `Utils/event.py:90-110`): the reference tags the literal's datatype by
+    * the LEXICAL LENGTH of the date string (19→dateTime, 10→date,
+    * 7→gYearMonth, 4/5→gYear) and never normalizes partial dates (its
+    * `normalize=False` comment at event.py:90-99). Returns a struct
+    * (lexical, dtype).
+    */
+  def formatDate(lex: Column): Column = {
+    import graft.model.Ns
+    val dtype = when(length(lex) === 19, lit(Ns.xsdDateTime))
+      .when(length(lex) === 10, lit(Ns.xsdDate))
+      .when(length(lex) === 7, lit(Ns.xsdGYearMon))
+      .when(length(lex) === 4 || length(lex) === 5, lit(Ns.xsdGYear))
+      .otherwise(lit(Ns.xsdString))
+    struct(lex.as("lexical"), dtype.as("dtype"))
+  }
+
+  /** Date-certainty map (`Utils/activity.py:217-228`): CERT/BY/AFTER/...
+    * → high/medium/low/unknownCertainty. */
+  def dateCertainty(c: Column): Column =
+    when(c === "CERT", "highCertainty")
+      .when(c.isin("BY", "AFTER"), "mediumCertainty")
+      .when(c.isin("CIRCA", "ROUGHLYDATED"), "lowCertainty")
+      .otherwise("unknownCertainty")
+}

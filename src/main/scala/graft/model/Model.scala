@@ -1,0 +1,82 @@
+package graft.model
+
+/** Core data model of the KG-construction engine.
+  *
+  * Mirrors the reference's value domain (see SURVEY.md §1): the sole output
+  * unit is an RDF triple whose object is either an IRI or a literal with an
+  * optional language tag or datatype (cwrc/RDF-extraction emits exactly this
+  * shape via rdflib, e.g. `Utils/context.py:342-343` lang literals,
+  * `Biography/culturalForm.py:575-583` xsd:string typed literals).
+  *
+  * Graph semantics in the reference are SET semantics (`uber_graph += graph`,
+  * `Biography/bio_extraction.py:78`): we realize a graph as
+  * `Dataset[Triple].union(...).distinct()`.
+  */
+final case class Triple(
+    subj: String,      // IRI (skolemized where the reference used BNodes)
+    pred: String,      // IRI
+    obj_value: String, // lexical form (IRI string or literal lexical form)
+    obj_is_iri: Boolean,
+    obj_lang: String,  // "" when absent ("en" where the reference tags lang)
+    obj_dtype: String  // "" when absent (xsd:string/date/gYear/... otherwise)
+)
+
+/** One transcript turn — the exact input shape demanded by BASELINE.json's
+  * input_hint: (conv_id, turn_idx, role, text, tool, ts).
+  */
+final case class Turn(
+    conv_id: String,
+    turn_idx: Int,
+    role: String,
+    text: String,
+    tool: String,
+    ts: java.sql.Timestamp
+)
+
+/** A detected mention inside one turn (the analog of a tagged XML mention —
+  * NAME/PLACE/ORGNAME/JOB — in the reference, SURVEY.md §2.2).
+  */
+final case class Mention(
+    conv_id: String,
+    turn_idx: Int,
+    kind: String,    // place | person | org | occupation | place_left
+    surface: String  // raw surface form as it appeared in text
+)
+
+/** Namespace registry — the analog of the reference's NS_DICT
+  * (`Utils/utilities.py:35-84`). Ours is a small fixed set; all URIs the
+  * engine mints are deterministic functions of input keys.
+  */
+object Ns {
+  val kg       = "http://kg.graft/"
+  val conv     = kg + "conv/"
+  val ctx      = kg + "context/"
+  val act      = kg + "activity/"
+  val place    = kg + "place/"
+  val person   = kg + "person/"
+  val org      = kg + "org/"
+  val occ      = kg + "occupation/"
+  val viaf     = "http://viaf.graft/"
+  val pred     = kg + "pred/"
+
+  // Predicates (fixed vocabulary, analog of cwrc/crm/oa terms).
+  val rdfType        = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+  val rdfsLabel      = "http://www.w3.org/2000/01/rdf-schema#label"
+  val owlSameAs      = "http://www.w3.org/2002/07/owl#sameAs"
+  val hasTarget      = pred + "hasTarget"
+  val hasSnippet     = pred + "hasSnippet"
+  val mentionsPlace  = pred + "visitedPlace"
+  val leftPlace      = pred + "leftPlace"
+  val spatialRel     = pred + "spatialRelationship"
+  val knowsPerson    = pred + "knowsPerson"
+  val memberOf       = pred + "memberOf"
+  val hasOccupation  = pred + "hasOccupation"
+  val tPerson        = kg + "type/Conversation"
+  val tContext       = kg + "type/Context"
+
+  val xsdString   = "http://www.w3.org/2001/XMLSchema#string"
+  val xsdDate     = "http://www.w3.org/2001/XMLSchema#date"
+  val xsdGYear    = "http://www.w3.org/2001/XMLSchema#gYear"
+  val xsdGYearMon = "http://www.w3.org/2001/XMLSchema#gYearMonth"
+  val xsdDateTime = "http://www.w3.org/2001/XMLSchema#dateTime"
+}

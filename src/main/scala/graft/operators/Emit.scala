@@ -1,0 +1,155 @@
+package graft.operators
+
+import graft.functions.Fns
+import graft.model.Ns
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Triple emission — the analog of the reference's `to_graph()`/`to_triple()`
+  * rendering (`Biography/biography.py:198-226`, `Utils/context.py:284-461`,
+  * `Utils/activity.py:370-526`), re-expressed as declarative projections +
+  * one union-distinct (the reference's rdflib set semantics,
+  * `bio_extraction.py:78`).
+  *
+  * Determinism: all URIs are functions of (conv_id, kind, ordinal); ordinals
+  * are row_number over an explicit (turn_idx) ordering — never partition
+  * order (SURVEY.md §7.4 hard-part 2). BNodes are skolemized the same way
+  * (hard-part 3).
+  */
+object Emit {
+
+  val predByKind: Map[String, String] = Map(
+    "place"      -> Ns.mentionsPlace,
+    "place_left" -> Ns.leftPlace,
+    "person"     -> Ns.knowsPerson,
+    "org"        -> Ns.memberOf,
+    "occupation" -> Ns.hasOccupation)
+
+  private def convUri = concat(lit(Ns.conv), col("conv_id"))
+
+  private val tripleCols = Seq(
+    col("subj"), col("pred"), col("obj_value"),
+    col("obj_is_iri"), col("obj_lang"), col("obj_dtype"))
+
+  private def asTriple(df: DataFrame): DataFrame = df.select(tripleCols: _*)
+
+  /** Per-conversation skeleton (`Biography/biography.py:198-226`):
+    * type + label triples. */
+  def skeleton(transcripts: DataFrame): DataFrame = {
+    val convs = transcripts.select(col("conv_id")).distinct()
+    val typed = convs.select(
+      convUri.as("subj"), lit(Ns.rdfType).as("pred"),
+      lit(Ns.tPerson).as("obj_value"), lit(true).as("obj_is_iri"),
+      lit("").as("obj_lang"), lit("").as("obj_dtype"))
+    val labeled = convs.select(
+      convUri.as("subj"), lit(Ns.rdfsLabel).as("pred"),
+      col("conv_id").as("obj_value"), lit(false).as("obj_is_iri"),
+      lit("en").as("obj_lang"), lit("").as("obj_dtype"))
+    typed.unionAll(labeled)
+  }
+
+  /** Linked-mention fact triples: (conv, pred(kind), obj). Unmatched places
+    * are dropped here (reference filters null place URIs,
+    * `Utils/utilities.py:375-385`); other kinds always emit (minted URIs or
+    * fallback literals from Link). */
+  def mentionTriples(linked: DataFrame): DataFrame = {
+    val kept = linked.filter(
+      !col("kind").isin("place", "place_left") || col("matched"))
+    val predCol = predByKind.foldLeft(lit(null).cast("string")) {
+      case (acc, (k, p)) => when(col("kind") === k, lit(p)).otherwise(acc)
+    }
+    asTriple(kept.select(convUri.as("subj"), predCol.as("pred"),
+      col("obj_value"), col("obj_is_iri"), col("obj_lang"), col("obj_dtype")))
+  }
+
+  /** W3 "MOVED" semantics (`Utils/location.py:74-123`): a "leaving X" block
+    * yields a spatialRelationship triple ONLY if X is never visited in the
+    * same conversation. Implemented as a left-anti self-join on
+    * (conv_id, obj_value) — co-partitioned keys, one small shuffle.
+    */
+  def spatialRelTriples(linked: DataFrame): DataFrame = {
+    val visited = linked
+      .filter(col("kind") === "place" && col("matched"))
+      .select(col("conv_id"), col("obj_value")).distinct()
+    val left = linked.filter(col("kind") === "place_left" && col("matched"))
+    asTriple(left.join(visited, Seq("conv_id", "obj_value"), "left_anti")
+      .select(convUri.as("subj"), lit(Ns.spatialRel).as("pred"),
+        col("obj_value"), lit(true).as("obj_is_iri"),
+        lit("").as("obj_lang"), lit("").as("obj_dtype")))
+  }
+
+  /** Context/annotation nodes with per-(conv, kind) ordinals — the
+    * reference's mutable counters become a row_number window (SURVEY.md
+    * §2.4 A5 / §2.5 W1, `Biography/culturalForm.py:412-413`, `Utils/
+    * other_contexts.py:16-56`). Each emitting mention gets a context node
+    * carrying type, target selector (F14: deterministic from keys, no DOM),
+    * and a snippet literal (F5/F7).
+    */
+  def contextTriples(linked: DataFrame): DataFrame = {
+    val emitting = linked.filter(
+      !col("kind").isin("place", "place_left") || col("matched"))
+    val w = Window.partitionBy(col("conv_id"), col("kind"))
+      .orderBy(col("turn_idx"))
+    val ctx = emitting
+      .withColumn("ordinal", row_number().over(w))
+      .withColumn("ctx_uri",
+        concat(lit(Ns.ctx), col("conv_id"), lit("_"), col("kind"),
+          lit("Context_"), col("ordinal").cast("string")))
+    val typed = ctx.select(col("ctx_uri").as("subj"),
+      lit(Ns.rdfType).as("pred"), lit(Ns.tContext).as("obj_value"),
+      lit(true).as("obj_is_iri"), lit("").as("obj_lang"),
+      lit("").as("obj_dtype"))
+    val target = ctx.select(col("ctx_uri").as("subj"),
+      lit(Ns.hasTarget).as("pred"),
+      concat(lit("/conv["), col("conv_id"), lit("]/turn["),
+        col("turn_idx").cast("string"), lit("]")).as("obj_value"),
+      lit(false).as("obj_is_iri"), lit("").as("obj_lang"),
+      lit("").as("obj_dtype"))
+    val snip = ctx.select(col("ctx_uri").as("subj"),
+      lit(Ns.hasSnippet).as("pred"),
+      Fns.snippet(col("text"), 20).as("obj_value"),
+      lit(false).as("obj_is_iri"), lit("en").as("obj_lang"),
+      lit("").as("obj_dtype"))
+    typed.unionAll(target).unionAll(snip)
+  }
+
+  /** owl:sameAs edges for every mentioned, authority-linked person:
+    * person ↔ VIAF-style id (J6, `Biography/biography.py:214-222`) plus
+    * deterministic chain edges person_k ↔ person_{k-1} when k%5≠0 (the
+    * people.ttl-style bulk sameAs fixtures, `data/people.ttl:12-30`).
+    */
+  def sameAsTriples(spark: SparkSession, dir: String, linked: DataFrame): DataFrame = {
+    val people = broadcast(graft.sources.Dicts.people(spark, dir))
+    val mentioned = linked
+      .filter(col("kind") === "person" && col("matched"))
+      .select(col("obj_value").as("uri")).distinct()
+    val withMeta = mentioned.join(people, Seq("uri"))
+    val viaf = withMeta.select(col("uri").as("subj"),
+      lit(Ns.owlSameAs).as("pred"), col("viaf_uri").as("obj_value"),
+      lit(true).as("obj_is_iri"), lit("").as("obj_lang"),
+      lit("").as("obj_dtype"))
+    val chain = withMeta.filter(col("custkey") % 5 =!= 0)
+      .select(col("uri").as("subj"), lit(Ns.owlSameAs).as("pred"),
+        concat(lit(Ns.person), (col("custkey") - 1).cast("string"))
+          .as("obj_value"),
+        lit(true).as("obj_is_iri"), lit("").as("obj_lang"),
+        lit("").as("obj_dtype"))
+    viaf.unionAll(chain)
+  }
+
+  /** The full graph: union of all emitters + set-dedup (the reference's
+    * `uber_graph += graph`, `bio_extraction.py:78`). The distinct is the
+    * single biggest shuffle of the pipeline — partial aggregation
+    * (map-side combine) applies because it's a hash-aggregate over all
+    * columns; AQE coalesces the post-shuffle partitions.
+    */
+  def allTriples(spark: SparkSession, dir: String,
+                 transcripts: DataFrame, linked: DataFrame): DataFrame =
+    skeleton(transcripts)
+      .unionAll(mentionTriples(linked))
+      .unionAll(spatialRelTriples(linked))
+      .unionAll(contextTriples(linked))
+      .unionAll(sameAsTriples(spark, dir, linked))
+      .distinct()
+}

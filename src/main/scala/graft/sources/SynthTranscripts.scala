@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic synthesis of the transcript input table mandated by
+  * BASELINE.json's input_hint: (conv_id string, turn_idx int, role string,
+  * text string, tool string, ts timestamp).
+  *
+  * The table is a PURE-ARITHMETIC projection of the driver-generated `events`
+  * table (TESTDATA.md) — no randomness, no hashing — so the DuckDB oracle can
+  * re-derive the identical rows (graft.oracle.OracleSql.TR is the DuckDB-side
+  * twin of this function; any edit here must be mirrored there).
+  *
+  * Shape correspondences to the reference (SURVEY.md §intro table):
+  * conversation ↔ Orlando XML document (`Biography/bio_extraction.py:38`),
+  * turn ↔ paragraph/CHRONSTRUCT block, embedded `Nation_k`/`Customer#k`/
+  * occupation words ↔ tagged PLACE/NAME/JOB mentions, role=system turns ↔
+  * HEADING tags, the `tool` column ↔ tag mode attributes.
+  *
+  * Scale note: this is a narrow map over the events scan — zero shuffle; at
+  * 10^12 rows it parallelizes embarrassingly. Each conversation is 20
+  * consecutive event_ids, so conv boundaries align with input file splits
+  * almost everywhere (at most one conv straddles a split boundary).
+  */
+object SynthTranscripts {
+
+  /** Occupation surface forms, indexed by event_id % 12. Chosen to exercise
+    * every linking path (SURVEY.md §2.3 J1/J2): dictionary hits through the
+    * clean_term stemmer (novelist/Novels both → "novel"; singer/singing →
+    * "sing"), hyphen folding (school-teacher), an ISO-3166-style non-http
+    * dictionary term (Ontarian → CA-ON literal, `culturalForm.py:575-583`),
+    * and unmappable terms (zorbulator, floozle → fallback literal,
+    * `culturalForm.py:583`).
+    */
+  val occWords: Seq[String] = Seq(
+    "novelist", "Novels", "singer", "singing", "preacher", "school-teacher",
+    "blacksmith", "zorbulator", "weaver", "Painter", "floozle", "Ontarian")
+
+  def apply(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val eid = col("event_id")
+    val occ = element_at(
+      array(occWords.map(lit): _*), (eid % 12).cast("int") + 1)
+    val text = concat(
+      lit("I visited Nation_"), (eid % 31).cast("string"),
+      lit(" and met Customer#"), lpad(((eid * 7) % 200).cast("string"), 9, "0"),
+      lit(" working as "), occ,
+      when(eid % 5 === 0,
+        concat(lit(" at Supplier#"), lpad(((eid * 3) % 13).cast("string"), 9, "0"))
+      ).otherwise(lit("")),
+      when(eid % 7 === 0,
+        concat(lit(" leaving Nation_"), ((eid + 4) % 31).cast("string"))
+      ).otherwise(lit("")),
+      lit("."))
+    val role = when(col("event_type") === "purchase", "user")
+      .when(col("event_type") === "click", "assistant")
+      .when(col("event_type") === "view", "assistant")
+      .when(col("event_type") === "signup", "system")
+      .otherwise("tool") // event_type = error
+    e.select(
+      concat(lit("conv_"), lpad(expr("CAST(event_id DIV 20 AS STRING)"), 6, "0"))
+        .as("conv_id"),
+      (eid % 20).cast("int").as("turn_idx"),
+      role.as("role"),
+      text.as("text"),
+      when(col("event_type") === "error",
+        concat(lit("tool_"), (eid % 5).cast("string"))).otherwise(lit(""))
+        .as("tool"),
+      col("ts"))
+  }
+}
