@@ -35,7 +35,51 @@ object SparkEntry {
     // §2.5 W2 closest heading
     "kg_heading" -> ((s, d) => Pipeline.headings(s, d)),
     // §2.4 A7 first-mention selection
-    "kg_first_person" -> ((s, d) => Pipeline.firstPerson(s, d))
+    "kg_first_person" -> ((s, d) => Pipeline.firstPerson(s, d)),
+    // §2.8 F9/F10 partial-precision date literals + interval expansion
+    "kg_dates" -> ((s, d) => operators.Dates.dateLiterals(Pipeline.transcripts(s, d))),
+
+    // --- training-data ops over documents/embeddings/events ---
+    // exact dedup (hash groupBy)
+    "doc_dedup_exact" -> ((s, d) =>
+      operators.Dedup.exact(operators.Dedup.corpus(sources.Tables.documents(s, d)))),
+    // MinHash+LSH candidate pairs
+    "doc_minhash_lsh" -> ((s, d) => {
+      val c = operators.Dedup.corpus(sources.Tables.documents(s, d))
+      operators.Dedup.lshCandidates(operators.Dedup.bands(
+        operators.Dedup.minhash(operators.Dedup.shingles(c))))
+    }),
+    // LSH candidates verified with exact n-gram Jaccard (integer decision)
+    "doc_dedup_verified" -> ((s, d) => {
+      val c = operators.Dedup.corpus(sources.Tables.documents(s, d))
+      val sh = operators.Dedup.shingles(c)
+      val cand = operators.Dedup.lshCandidates(operators.Dedup.bands(
+        operators.Dedup.minhash(sh)))
+      operators.Dedup.jaccardVerify(cand, sh)
+    }),
+    // SimHash fingerprints
+    "doc_simhash" -> ((s, d) =>
+      operators.Dedup.simhash(operators.Dedup.corpus(sources.Tables.documents(s, d)))),
+    // token counting
+    "doc_token_stats" -> ((s, d) => operators.TextOps.tokenStats(sources.Tables.documents(s, d))),
+    // quality scoring
+    "doc_quality" -> ((s, d) => operators.TextOps.quality(sources.Tables.documents(s, d))),
+    // language-ID heuristic
+    "doc_langid" -> ((s, d) => operators.TextOps.langId(sources.Tables.documents(s, d))),
+    // document fingerprinting (full + k-min sketch)
+    "doc_fingerprint" -> ((s, d) => operators.TextOps.fingerprint(sources.Tables.documents(s, d))),
+    // brute-force cosine top-k ANN
+    "ann_topk" -> ((s, d) => operators.Ann.bruteForceTopK(sources.Tables.embeddings(s, d))),
+    // random-hyperplane LSH bucket signatures
+    "ann_lsh_buckets" -> ((s, d) => operators.Ann.lshBuckets(sources.Tables.embeddings(s, d))),
+    // embedding-cosine near-duplicate pairs
+    "emb_neardup" -> ((s, d) => operators.Ann.nearDupPairs(sources.Tables.embeddings(s, d))),
+    // multimodal binary-column featurization (relational twin of the kernel)
+    "mm_features" -> ((s, d) => operators.Multimodal.featurizeRelational(sources.Tables.documents(s, d))),
+    // gap sessionization (batch twin of the streaming stateful op)
+    "events_sessionize" -> ((s, d) => operators.Sessions.sessionize(sources.Tables.events(s, d))),
+    // tumbling-window aggregation (batch twin of streaming windowed agg)
+    "events_hourly" -> ((s, d) => operators.Sessions.hourlyAgg(sources.Tables.events(s, d)))
   )
 
   def oracleSql: Map[String, String] = OracleSql.queries

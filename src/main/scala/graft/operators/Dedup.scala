@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data pipelines: exact (hash groupBy),
+  * MinHash+LSH (shingle → minhash → band → bucket join), n-gram Jaccard
+  * verification, and SimHash fingerprints.
+  *
+  * Portability contract: every hash used is md5 (identical in Spark and
+  * DuckDB) and every similarity decision is made on INTEGER arithmetic
+  * (e.g. jaccard ≥ 0.8 as `5*inter >= 4*uni`) so the oracle can reproduce
+  * results bit-for-bit — no float accumulation anywhere.
+  *
+  * Scale design: shingling is a narrow explode; minhash is a partial-agg
+  * groupBy(doc, perm); LSH banding turns the O(n²) pair space into
+  * per-bucket joins (the bucket join is the only shuffle-join, its keys are
+  * md5 band hashes — uniformly distributed, no skew). Exact-duplicate
+  * mega-buckets (the classic LSH skew case) are bounded by distinct-ing
+  * candidate pairs per band before the verify join; AQE skew-join handles
+  * residual hot buckets.
+  */
+object Dedup {
+
+  /** The test corpus: documents ∪ near-duplicate variants (doc_id+100000,
+    * first 3 words dropped) ∪ exact copies (doc_id+200000 for doc_id<50).
+    * Deterministic augmentation — the synthetic corpus has no natural
+    * duplicates, so the duplicate structure is defined by the query itself
+    * and mirrored in the oracle.
+    */
+  def corpus(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val near = docs.select(
+      (col("doc_id") + 100000).as("doc_id"),
+      array_join(slice(split(col("text"), " "), 4, 1000000), " ").as("text"))
+    val exact = docs.filter(col("doc_id") < 50).select(
+      (col("doc_id") + 200000).as("doc_id"), col("text"))
+    base.unionAll(near).unionAll(exact)
+  }
+
+  /** Exact dedup: group by md5(text), keep the min doc_id of each group.
+    * Output: (doc_id, keep_id, group_n) — a doc is a duplicate iff
+    * doc_id != keep_id. Partial aggregation applies (hash-agg on md5). */
+  def exact(c: DataFrame): DataFrame = {
+    val g = c.groupBy(md5(col("text")).as("text_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("group_n"))
+    c.select(col("doc_id"), md5(col("text")).as("text_hash"))
+      .join(g, "text_hash")
+      .select(col("doc_id"), col("keep_id"), col("group_n"))
+  }
+
+  /** Word k-gram shingles: (doc_id, shingle), distinct per doc.
+    * Guard: sequence(1, n) with n<1 would generate DESCENDING values in
+    * Spark, so short docs explicitly yield an empty shingle array. */
+  def shingles(c: DataFrame, k: Int = 3): DataFrame = {
+    val words = split(col("text"), " ")
+    val cnt = size(words) - (k - 1)
+    val shingleArr = when(cnt >= 1,
+      transform(sequence(lit(1), cnt), i =>
+        concat_ws(" ", (0 until k).map(o => element_at(words, i + o)): _*))
+    ).otherwise(array().cast("array<string>"))
+    c.select(col("doc_id"), explode(shingleArr).as("shingle")).distinct()
+  }
+
+  val NumPerms = 12
+  val BandSize = 3 // → 4 bands
+
+  /** MinHash signatures: perm j's hash of a shingle is md5(j || '|' || s);
+    * the signature is the per-doc min. One groupBy(doc_id) with NumPerms
+    * conditional min aggregates — a single shuffle, partial-agg friendly. */
+  def minhash(sh: DataFrame): DataFrame = {
+    val perms = explode(sequence(lit(0), lit(NumPerms - 1))).as("j")
+    val hashed = sh.select(col("doc_id"), col("shingle"), perms)
+      .withColumn("h", md5(concat(col("j").cast("string"), lit("|"), col("shingle"))))
+    val aggs = (0 until NumPerms).map(j =>
+      min(when(col("j") === j, col("h"))).as(s"mh$j"))
+    hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH bands: band b's key is md5 of the concatenation of its BandSize
+    * signature slots. Output: (doc_id, band, band_key). */
+  def bands(mh: DataFrame): DataFrame = {
+    val nBands = NumPerms / BandSize
+    val bandStructs = array((0 until nBands).map { b =>
+      val key = md5(concat((0 until BandSize)
+        .map(r => col(s"mh${b * BandSize + r}")): _*))
+      struct(lit(b).as("band"), key.as("band_key"))
+    }: _*)
+    mh.select(col("doc_id"), explode(bandStructs).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
+
+  /** Candidate pairs: docs sharing any band bucket, a < b, distinct. */
+  def lshCandidates(b: DataFrame): DataFrame = {
+    val l = b.select(col("band"), col("band_key"), col("doc_id").as("a"))
+    val r = b.select(col("band"), col("band_key"), col("doc_id").as("b"))
+    l.join(r, Seq("band", "band_key")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Exact shingle-Jaccard verification of candidate pairs. Emits integer
+    * (inter, uni) plus the ≥0.8 decision as `5*inter >= 4*uni`. */
+  def jaccardVerify(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shA = sh.select(col("doc_id").as("a"), col("shingle"))
+    val shB = sh.select(col("doc_id").as("b"), col("shingle"))
+    val inter = cand.join(shA, "a").join(shB, Seq("b", "shingle"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    cand.join(inter, Seq("a", "b"), "left")
+      .na.fill(0, Seq("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
+      .select(col("a"), col("b"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("uni"),
+        (col("inter") * 5 >= (col("na") + col("nb") - col("inter")) * 4)
+          .as("is_dup"))
+  }
+
+  /** 16-bit SimHash over the distinct-word set. Word w contributes ±1 to
+    * bit b according to bit b of the 16-bit integer parsed from the first
+    * 4 hex chars of md5(w); the parse is spelled out nibble-by-nibble so
+    * DuckDB (which lacks a hex→int conv) reproduces it exactly. */
+  def simhash(c: DataFrame): DataFrame = {
+    val words = c.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .distinct()
+    val weights = Seq(4096, 256, 16, 1)
+    val vExpr = (0 until 4).map(i =>
+      s"(instr('0123456789abcdef', substring(md5(w), ${i + 1}, 1)) - 1) * ${weights(i)}"
+    ).mkString(" + ")
+    val bits = words.withColumn("v", expr(vExpr))
+      .select(col("doc_id"), col("v"),
+        explode(sequence(lit(0), lit(15))).as("b"))
+      .withColumn("contrib",
+        when(expr("(v DIV shiftleft(1, b)) % 2") === 1, lit(1)).otherwise(lit(-1)))
+    bits.groupBy("doc_id", "b")
+      .agg(sum("contrib").as("s"))
+      .withColumn("bit_val",
+        when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(lit(0L)))
+      .groupBy("doc_id")
+      .agg(sum("bit_val").cast("long").as("simhash"))
+  }
+}

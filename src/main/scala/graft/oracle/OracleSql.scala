@@ -178,7 +178,9 @@ reach AS (
 canon AS (SELECT n AS node, min(m) AS canon FROM reach GROUP BY n)
 """
 
-  val queries: Map[String, String] = Map(
+  // lazy: docQueries/annQueries/eventQueries are declared below and would
+  // otherwise still be null when this initializer runs.
+  lazy val queries: Map[String, String] = Map(
     "kg_transcripts" ->
       (BASE + "SELECT conv_id, turn_idx, role, text, tool, ts FROM tr"),
     "kg_mentions" ->
@@ -224,6 +226,205 @@ FROM per"""),
 FROM tr"""),
     "kg_first_person" ->
       (BASE + """SELECT conv_id, min_by(obj_value, turn_idx) AS first_person
-FROM linked WHERE kind = 'person' GROUP BY conv_id""")
-  )
+FROM linked WHERE kind = 'person' GROUP BY conv_id"""),
+    "kg_dates" ->
+      (BASE + s""", lex AS (
+  SELECT conv_id, turn_idx,
+    CASE WHEN turn_idx % 4 = 0 THEN strftime(ts, '%Y')
+         WHEN turn_idx % 4 = 1 THEN strftime(ts, '%Y-%m')
+         WHEN turn_idx % 4 = 2 THEN strftime(ts, '%Y-%m-%d')
+         ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS lexical
+  FROM tr)
+SELECT conv_id, turn_idx, lexical,
+  CASE WHEN length(lexical) = 19 THEN '${Ns.xsdDateTime}'
+       WHEN length(lexical) = 10 THEN '${Ns.xsdDate}'
+       WHEN length(lexical) = 7 THEN '${Ns.xsdGYearMon}'
+       WHEN length(lexical) IN (4,5) THEN '${Ns.xsdGYear}'
+       ELSE '${Ns.xsdString}' END AS dtype,
+  CASE WHEN length(lexical) = 4 THEN lexical || '-01-01 00:00:00'
+       WHEN length(lexical) = 7 THEN lexical || '-01 00:00:00'
+       WHEN length(lexical) = 10 THEN lexical || ' 00:00:00'
+       ELSE lexical END AS interval_start,
+  CASE WHEN length(lexical) = 4 THEN lexical || '-12-31 23:59:59'
+       WHEN length(lexical) = 7 THEN strftime(last_day(CAST(lexical || '-01' AS DATE)), '%Y-%m-%d') || ' 23:59:59'
+       WHEN length(lexical) = 10 THEN lexical || ' 23:59:59'
+       ELSE lexical END AS interval_end
+FROM lex""")
+  ) ++ docQueries ++ annQueries ++ eventQueries
+
+  // ----- documents: dedup + text analysis -----
+
+  /** augmented corpus + word k-gram shingle CTEs (DuckDB). */
+  private val CORPUS: String = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, array_to_string(list_slice(string_split(text,' '), 4, 100000000), ' ') FROM documents
+  UNION ALL
+  SELECT doc_id + 200000, text FROM documents WHERE doc_id < 50
+),
+sh3 AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1))) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus))
+),
+mh AS (
+  SELECT doc_id,
+""" + (0 until 12).map(j => s"    min(CASE WHEN j = $j THEN h END) AS mh$j")
+    .mkString(",\n") + """
+  FROM (SELECT s.doc_id, t.j, md5(CAST(t.j AS VARCHAR) || '|' || s.shingle) AS h
+        FROM sh3 s, range(0, 12) t(j))
+  GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(mh0 || mh1 || mh2) AS band_key FROM mh
+  UNION ALL SELECT doc_id, 1, md5(mh3 || mh4 || mh5) FROM mh
+  UNION ALL SELECT doc_id, 2, md5(mh6 || mh7 || mh8) FROM mh
+  UNION ALL SELECT doc_id, 3, md5(mh9 || mh10 || mh11) FROM mh
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+)
+"""
+
+  private val docQueries: Map[String, String] = Map(
+    "doc_dedup_exact" -> (CORPUS + """
+, g AS (SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS group_n FROM corpus GROUP BY 1)
+SELECT c.doc_id, g.keep_id, g.group_n FROM corpus c JOIN g ON md5(c.text) = g.h"""),
+    "doc_minhash_lsh" -> (CORPUS + "SELECT a, b FROM cand"),
+    "doc_dedup_verified" -> (CORPUS + """
+, sizes AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY 1),
+inter AS (
+  SELECT c.a, c.b, count(*) AS inter
+  FROM cand c JOIN sh3 sa ON sa.doc_id = c.a
+              JOIN sh3 sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+  GROUP BY c.a, c.b)
+SELECT c.a, c.b, COALESCE(i.inter, 0) AS inter,
+       na.n + nb.n - COALESCE(i.inter, 0) AS uni,
+       COALESCE(i.inter, 0) * 5 >= (na.n + nb.n - COALESCE(i.inter, 0)) * 4 AS is_dup
+FROM cand c
+LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+JOIN sizes na ON na.doc_id = c.a
+JOIN sizes nb ON nb.doc_id = c.b"""),
+    "doc_simhash" -> (CORPUS + """
+, wd AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM corpus),
+wv AS (SELECT doc_id,
+         (strpos('0123456789abcdef', substr(md5(w),1,1))-1)*4096
+       + (strpos('0123456789abcdef', substr(md5(w),2,1))-1)*256
+       + (strpos('0123456789abcdef', substr(md5(w),3,1))-1)*16
+       + (strpos('0123456789abcdef', substr(md5(w),4,1))-1) AS v
+       FROM wd),
+bits AS (
+  SELECT doc_id, t.b, sum(CASE WHEN (v // (1 << t.b)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+  FROM wv, range(0, 16) t(b) GROUP BY doc_id, t.b)
+SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id"""),
+    "doc_token_stats" -> """
+SELECT doc_id,
+  len(string_split(text, ' ')) AS n_ws_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens,
+  length(text) AS n_chars,
+  CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_span
+FROM documents""",
+    "doc_quality" -> """
+WITH q AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+    len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','in'))) AS stop_hits,
+    len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS punct_chars
+  FROM documents)
+SELECT doc_id, len(w) AS n_tokens, stop_hits,
+  CAST(stop_hits AS DOUBLE) / len(w) AS stop_ratio,
+  punct_chars,
+  len(list_distinct(w)) AS n_distinct,
+  CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS diversity,
+  CAST(len(w) BETWEEN 20 AND 90 AND stop_hits >= 1 AS INT) AS keep
+FROM q""",
+    "doc_langid" -> """
+WITH q AS (
+  SELECT doc_id, lang,
+    len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of'))) AS en_hits
+  FROM documents)
+SELECT doc_id, lang AS declared_lang, en_hits,
+  CASE WHEN en_hits >= 1 THEN 'en' ELSE lang END AS pred_lang
+FROM q""",
+    "doc_fingerprint" -> """
+WITH sh5 AS (
+  SELECT DISTINCT doc_id,
+    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s
+  FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 3, 1))) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+km AS (SELECT doc_id, min(md5(s)) AS fp_kmin FROM sh5 GROUP BY 1)
+SELECT d.doc_id, md5(regexp_replace(trim(d.text), '\s+', ' ', 'g')) AS fp_full, km.fp_kmin
+FROM documents d LEFT JOIN km ON km.doc_id = d.doc_id""")
+
+  // ----- embeddings: ANN / near-dup -----
+
+  private val annQueries: Map[String, String] = Map(
+    "ann_topk" -> """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 25 = 0),
+s AS (
+  SELECT q.query_id, n.vec_id AS neighbor_id,
+         list_dot_product(q.qv, n.v) / (q.qn * n.nrm) AS cos
+  FROM q JOIN n ON n.vec_id <> q.query_id),
+r AS (SELECT query_id, neighbor_id,
+        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5""",
+    "ann_lsh_buckets" -> """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+d AS (SELECT vec_id, i - 1 AS i, v[i] AS x
+      FROM (SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS i FROM e)),
+p AS (SELECT vec_id, i, x, t.pl,
+        CASE WHEN strpos('0123456789abcdef',
+               substr(md5(CAST(t.pl AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) % 2 = 1
+             THEN 1.0 ELSE -1.0 END AS w
+      FROM d, range(0, 8) t(pl)),
+proj AS (SELECT vec_id, pl, sum(w * x) AS proj FROM p GROUP BY 1, 2)
+SELECT vec_id,
+  CAST(sum(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << CAST(pl AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+FROM proj GROUP BY vec_id""",
+    "emb_neardup" -> """
+WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+aug AS (
+  SELECT vec_id, embedding FROM base
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(embedding, x -> x * CAST(2.0 AS FLOAT)) FROM base),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM aug),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+SELECT l.vec_id AS a, r.vec_id AS b
+FROM n l JOIN n r ON l.vec_id < r.vec_id
+WHERE list_dot_product(l.v, r.v) / (l.nrm * r.nrm) >= 0.999""",
+    "mm_features" -> """
+SELECT doc_id, strlen(text) AS n_bytes, strlen(text) % 640 AS width,
+       (strlen(text) * 7) % 480 AS height, 3 AS channels,
+       substr(md5(text), 1, 8) AS sig
+FROM documents""")
+
+  // ----- events: sessionization + windowed agg -----
+
+  private val eventQueries: Map[String, String] = Map(
+    "events_sessionize" -> """
+WITH s1 AS (
+  SELECT *, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events),
+s2 AS (SELECT *, CASE WHEN prev_us IS NULL THEN 1
+                      WHEN us - prev_us > 30*60*1000000 THEN 1 ELSE 0 END AS new_s FROM s1),
+s3 AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sess_idx FROM s2)
+SELECT user_id,
+  CAST(user_id AS VARCHAR) || '_' || CAST(sess_idx AS VARCHAR) AS session_id,
+  count(*) AS n_events, min(ts) AS start_ts, max(ts) AS end_ts,
+  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+FROM s3 GROUP BY user_id, session_id""",
+    "events_hourly" -> """
+SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2""")
 }

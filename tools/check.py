@@ -30,7 +30,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_bool_dtype(df[c]):
             df[c] = df[c].astype(bool)
         elif pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None).astype('datetime64[us]')
         else:
             df[c] = df[c].where(df[c].notna(), "NULL").astype(str)
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
