@@ -44,12 +44,16 @@ object Fns {
     * general unidecode table is reduced to the Latin-1 accent folds that
     * can actually occur in our value domain (translate() below).
     */
+  /** Accent-fold pairs, built pairwise so from/to can never misalign. */
+  private val foldPairs: Seq[(Char, Char)] =
+    "ÃA ÀA ÁA ÂA ÄA àa áa âa äa ÈE ÉE ÊE ËE èe ée êe ëe ÌI ÍI ÎI ÏI ìi íi îi ïi ÒO ÓO ÔO ÖO òo óo ôo öo ÙU ÚU ÛU ÜU ùu úu ûu üu ÑN ñn ÇC çc"
+      .split(" ").toSeq.map(p => (p(0), p(1)))
+
   def removePunctuation(c: Column): Column = {
     // "¾"→"3-4" needs a multi-char replacement, do it before translate:
     val pre = regexp_replace(regexp_replace(c, "¾", "3-4"), "©", "c")
     val folded2 = translate(pre,
-      "ÃÀÁÂÄàáâäÈÉÊËèéêëÌÍÎÏìíîïÒÓÔÖòóôöÙÚÛÜùúûüÑñÇç",
-      "AAAAAaaaaaEEEEeeeeIIIIiiiiOOOOooooUUUUuuuuNnCc")
+      foldPairs.map(_._1).mkString, foldPairs.map(_._2).mkString)
     val noPunct = regexp_replace(folded2, """[!"#$%&'()*+,./:;<=>?@\[\\\]^`{|}~_]""", "")
     regexp_replace(noPunct, " ", "_")
   }

@@ -1,0 +1,110 @@
+package graft
+
+import graft.model.{Ns, Triple}
+import graft.operators.{Emit, Link, Mentions, SameAs}
+import java.sql.Timestamp
+
+/** Golden triple sets (SURVEY.md §5 test plan item 1): a hand-written
+  * conversation with hand-derived expected triples exercising every
+  * extractor path — matched/unmatched places, authority/minted persons,
+  * IRI/ISO-literal/fallback-literal occupations, W3 moved semantics,
+  * ordinals, sameAs edges. Asserts EXACT set equality (P/R = 1.0).
+  */
+class GoldenTripleSpec extends SparkSpec {
+
+  private val conv = "convA"
+  private val cu = Ns.conv + conv
+
+  private def turns = {
+    import spark.implicits._
+    Seq(
+      (conv, 0, "user", "I visited Nation_3 and met Customer#000000007 working as novelist.", "", Timestamp.valueOf("2024-01-01 10:00:00")),
+      (conv, 1, "user", "I visited Nation_28 and met Customer#000000199 working as zorbulator leaving Nation_3.", "", Timestamp.valueOf("2024-01-01 10:01:00")),
+      (conv, 2, "user", "I met Customer#000000010 working as Ontarian leaving Nation_4.", "", Timestamp.valueOf("2024-01-01 10:02:00"))
+    ).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+  }
+
+  private def iri(s: String, p: String, o: String) = Triple(s, p, o, true, "", "")
+  private def litStr(s: String, p: String, o: String) = Triple(s, p, o, false, "", Ns.xsdString)
+  private def litLang(s: String, p: String, o: String) = Triple(s, p, o, false, "en", "")
+  private def litPlain(s: String, p: String, o: String) = Triple(s, p, o, false, "", "")
+
+  private def ctxTriples(kind: String, ord: Int, turn: Int, text: String) = {
+    val c = s"${Ns.ctx}${conv}_${kind}Context_$ord"
+    Seq(
+      iri(c, Ns.rdfType, Ns.tContext),
+      litPlain(c, Ns.hasTarget, s"/conv[$conv]/turn[$turn]"),
+      litLang(c, Ns.hasSnippet, text))
+  }
+
+  private val t0 = "I visited Nation_3 and met Customer#000000007 working as novelist."
+  private val t1 = "I visited Nation_28 and met Customer#000000199 working as zorbulator leaving Nation_3."
+  private val t2 = "I met Customer#000000010 working as Ontarian leaving Nation_4."
+
+  private val golden: Set[Triple] = (Seq(
+    // skeleton (biography.py:198-226 analog)
+    iri(cu, Ns.rdfType, Ns.tPerson),
+    litLang(cu, Ns.rdfsLabel, conv),
+    // mention facts
+    iri(cu, Ns.mentionsPlace, Ns.place + "3"),            // Nation_28 unmatched → dropped
+    iri(cu, Ns.leftPlace, Ns.place + "3"),
+    iri(cu, Ns.leftPlace, Ns.place + "4"),
+    iri(cu, Ns.knowsPerson, Ns.person + "7"),
+    iri(cu, Ns.knowsPerson, Ns.kg + "temp/Customer000000199"), // minted (no authority row)
+    iri(cu, Ns.knowsPerson, Ns.person + "10"),
+    iri(cu, Ns.hasOccupation, Ns.occ + "novelist"),
+    litStr(cu, Ns.hasOccupation, "zorbulator"),           // fallback literal
+    litStr(cu, Ns.hasOccupation, "ISO-3166-2:CA-ON"),     // non-http dict term
+    // W3: Nation_4 never visited → spatialRel; Nation_3 visited → none
+    iri(cu, Ns.spatialRel, Ns.place + "4"),
+    // sameAs: viaf = custkey DIV 3; chain person_k→person_{k-1} iff k%5≠0
+    iri(Ns.person + "7", Ns.owlSameAs, Ns.viaf + "2"),
+    iri(Ns.person + "7", Ns.owlSameAs, Ns.person + "6"),
+    iri(Ns.person + "10", Ns.owlSameAs, Ns.viaf + "3"))
+    // contexts with per-(conv, kind) ordinals
+    ++ ctxTriples("place", 1, 0, t0)
+    ++ ctxTriples("place_left", 1, 1, t1)
+    ++ ctxTriples("place_left", 2, 2, t2)
+    ++ ctxTriples("person", 1, 0, t0)
+    ++ ctxTriples("person", 2, 1, t1)
+    ++ ctxTriples("person", 3, 2, t2)
+    ++ ctxTriples("occupation", 1, 0, t0)
+    ++ ctxTriples("occupation", 2, 1, t1)
+    ++ ctxTriples("occupation", 3, 2, t2)).toSet
+
+  test("triple emission matches the hand-derived golden set exactly (P/R = 1.0)") {
+    import spark.implicits._
+    val tr = turns
+    val linked = Link.linkAll(spark, sfDir, Mentions.extract(tr))
+    val got = Emit.allTriples(spark, sfDir, tr, linked).as[Triple].collect().toSet
+    val missing = golden -- got
+    val extra = got -- golden
+    assert(missing.isEmpty, s"missing triples: ${missing.mkString("\n")}")
+    assert(extra.isEmpty, s"unexpected triples: ${extra.mkString("\n")}")
+    assert(got.size == 42)
+  }
+
+  test("canonicalization rewrites identities to the component min label") {
+    import spark.implicits._
+    val tr = turns
+    val linked = Link.linkAll(spark, sfDir, Mentions.extract(tr))
+    val triples = Emit.allTriples(spark, sfDir, tr, linked)
+    val canon = SameAs.closure(SameAs.edgesOf(triples))
+      .as[(String, String)].collect().toMap
+    // component {person/6, person/7, viaf/2} → min is person/10? no:
+    // lexicographically "http://kg.graft/person/6" < "http://kg.graft/person/7" < "http://viaf.graft/2"
+    assert(canon(Ns.person + "7") == Ns.person + "6")
+    assert(canon(Ns.viaf + "2") == Ns.person + "6")
+    assert(canon(Ns.person + "10") == Ns.person + "10")
+    assert(canon(Ns.viaf + "3") == Ns.person + "10")
+    val rewritten = SameAs.canonicalize(triples, SameAs.closure(SameAs.edgesOf(triples)))
+      .as[Triple].collect().toSet
+    assert(rewritten.contains(iri(cu, Ns.knowsPerson, Ns.person + "6")))
+    assert(!rewritten.exists(t => t.pred == Ns.knowsPerson && t.obj_value == Ns.person + "7"))
+    // fixpoint: canonicalizing again changes nothing
+    val again = SameAs.canonicalize(
+      SameAs.canonicalize(triples, SameAs.closure(SameAs.edgesOf(triples))),
+      SameAs.closure(SameAs.edgesOf(triples))).as[Triple].collect().toSet
+    assert(again == rewritten)
+  }
+}
