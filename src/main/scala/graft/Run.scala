@@ -1,0 +1,57 @@
+package graft
+
+import graft.io.RunManifest
+import graft.operators._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** spark-submit entry point: staged, checkpoint-resumable execution of the
+  * full KG pipeline (the production shape of SURVEY.md §3.1).
+  *
+  *   spark-submit --class graft.Run <jar> <sfDir> <outDir> [--resume]
+  *
+  * Stages (each materialized + manifest-logged + per-partition lineage):
+  *   transcripts → linked → triples → canon → metrics
+  * A killed run restarted with --resume re-executes only missing stages.
+  */
+object Run {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val resume = args.contains("--resume")
+    val spark = SparkSession.builder()
+      .appName("graft-kg-run")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    execute(spark, sfDir, outDir, resume)
+    spark.stop()
+  }
+
+  /** Runs all stages; returns (triples rows, canon rows) for callers/tests. */
+  def execute(spark: SparkSession, sfDir: String, outDir: String,
+              resume: Boolean): (Long, Long) = {
+    val m = new RunManifest(spark, outDir, resume)
+    val transcripts = m.stage("transcripts") { Pipeline.transcripts(spark, sfDir) }
+    val linked = m.stage("linked") {
+      Link.linkAll(spark, sfDir, Mentions.extract(transcripts))
+    }
+    val triples = m.stage("triples") {
+      // bucket column = hash(subj) — the Iceberg bucket(subj) analog, so
+      // downstream per-entity reads prune partitions
+      Emit.allTriples(spark, sfDir, transcripts, linked)
+        .withColumn("bucket", pmod(xxhash64(col("subj")), lit(16)))
+    }
+    val canon = m.stage("canon") {
+      val t = triples.drop("bucket")
+      SameAs.canonicalize(t, SameAs.closure(SameAs.edgesOf(t)))
+    }
+    m.stage("metrics_unmapped") { Metrics.unmappedHistogram(linked) }
+    m.stage("metrics_stats") { Metrics.convStats(triples.drop("bucket")) }
+    (triples.count(), canon.count())
+  }
+}

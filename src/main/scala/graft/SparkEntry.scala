@@ -79,7 +79,13 @@ object SparkEntry {
     // gap sessionization (batch twin of the streaming stateful op)
     "events_sessionize" -> ((s, d) => operators.Sessions.sessionize(sources.Tables.events(s, d))),
     // tumbling-window aggregation (batch twin of streaming windowed agg)
-    "events_hourly" -> ((s, d) => operators.Sessions.hourlyAgg(sources.Tables.events(s, d)))
+    "events_hourly" -> ((s, d) => operators.Sessions.hourlyAgg(sources.Tables.events(s, d))),
+    // Structured Streaming parity: same operators lifted onto readStream,
+    // drained to completion — checked against the SAME oracles as batch
+    "stream_mentions" -> ((s, d) => streaming.StreamOps.runToBatch(
+      s, streaming.StreamOps.mentionStream(s, d), "stream_mentions_tbl", "append")),
+    "stream_hourly" -> ((s, d) => streaming.StreamOps.runToBatch(
+      s, streaming.StreamOps.hourlyStream(s, d), "stream_hourly_tbl", "complete"))
   )
 
   def oracleSql: Map[String, String] = OracleSql.queries

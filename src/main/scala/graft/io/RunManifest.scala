@@ -1,0 +1,64 @@
+package graft.io
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Checkpoint/resume + lineage for staged materialization (SURVEY.md §4
+  * item 4; north_rule: "resumable from checkpoint with per-partition
+  * lineage + metrics").
+  *
+  * Each stage writes:
+  *  - `<out>/<stage>/` — the stage's rows (partitioned parquet; in a real
+  *    deployment an Iceberg table — same layout, snapshot id ↔ manifest row)
+  *  - `<out>/_lineage/<stage>/` — per-partition row counts (partition_id,
+  *    rows) captured from the ACTUAL write-side partitions
+  *  - one JSON line in `<out>/manifest.jsonl` — (stage, rows, partitions,
+  *    wall_ms, status) — the resume log.
+  *
+  * `resume = true` skips any stage whose manifest line says "done" and whose
+  * directory exists, reading the materialized parquet instead — a restart
+  * re-executes only the missing suffix of the DAG.
+  */
+class RunManifest(spark: SparkSession, out: String, resume: Boolean) {
+
+  private val manifestPath = Paths.get(s"$out/manifest.jsonl")
+  Files.createDirectories(Paths.get(out))
+
+  private def doneStages: Set[String] =
+    if (!Files.exists(manifestPath)) Set.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.readAllLines(manifestPath).asScala
+        .filter(_.contains("\"status\":\"done\""))
+        .flatMap { l =>
+          "\"stage\":\"([^\"]+)\"".r.findFirstMatchIn(l).map(_.group(1))
+        }.toSet
+    }
+
+  private def appendLine(s: String): Unit =
+    Files.writeString(manifestPath, s + "\n",
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+
+  /** Materialize `df` as stage `name` (or reuse it when resuming). */
+  def stage(name: String)(df: => DataFrame): DataFrame = {
+    val dir = s"$out/$name"
+    if (resume && doneStages.contains(name) && Files.exists(Paths.get(dir))) {
+      appendLine(s"""{"stage":"$name","status":"skipped_resume"}""")
+      return spark.read.parquet(dir)
+    }
+    val t0 = System.nanoTime()
+    val d = df
+    d.write.mode("overwrite").parquet(dir)
+    val written = spark.read.parquet(dir)
+    // per-partition lineage of the materialized stage
+    val lineage = written.groupBy(spark_partition_id().as("partition_id"))
+      .agg(count(lit(1)).as("rows"))
+    lineage.write.mode("overwrite").parquet(s"$out/_lineage/$name")
+    val rows = written.count()
+    val nParts = written.rdd.getNumPartitions
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    appendLine(s"""{"stage":"$name","status":"done","rows":$rows,"partitions":$nParts,"wall_ms":$wallMs}""")
+    written
+  }
+}

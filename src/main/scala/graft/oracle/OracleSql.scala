@@ -250,7 +250,7 @@ SELECT conv_id, turn_idx, lexical,
        WHEN length(lexical) = 10 THEN lexical || ' 23:59:59'
        ELSE lexical END AS interval_end
 FROM lex""")
-  ) ++ docQueries ++ annQueries ++ eventQueries
+  ) ++ docQueries ++ annQueries ++ eventQueries ++ streamQueries
 
   // ----- documents: dedup + text analysis -----
 
@@ -424,6 +424,16 @@ SELECT user_id,
   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
 FROM s3 GROUP BY user_id, session_id""",
     "events_hourly" -> """
+SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2""")
+
+  /** Streaming queries reuse the batch oracles — streaming/batch parity IS
+    * the check. */
+  private val streamQueries: Map[String, String] = Map(
+    "stream_mentions" ->
+      (BASE + "SELECT conv_id, turn_idx, kind, surface FROM men"),
+    "stream_hourly" -> """
 SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY 1, 2""")

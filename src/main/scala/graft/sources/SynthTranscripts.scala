@@ -37,8 +37,12 @@ object SynthTranscripts {
     "novelist", "Novels", "singer", "singing", "preacher", "school-teacher",
     "blacksmith", "zorbulator", "weaver", "Painter", "floozle", "Ontarian")
 
-  def apply(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
+  def apply(spark: SparkSession, dir: String): DataFrame =
+    project(Tables.events(spark, dir))
+
+  /** The pure projection events → transcripts; shared by the batch reader
+    * above and the Structured Streaming source (graft.streaming). */
+  def project(e: DataFrame): DataFrame = {
     val eid = col("event_id")
     val occ = element_at(
       array(occWords.map(lit): _*), (eid % 12).cast("int") + 1)
