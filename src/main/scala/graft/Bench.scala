@@ -1,24 +1,102 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract: ONE JSON line on stdout).
+  *
+  * Headline = the end-to-end staged KG pipeline (graft.Run.execute: scan →
+  * extract → link → emit → closure → canonicalize, all stages materialized)
+  * reported as triples/sec and turns/sec — the BASELINE.json metric. The
+  * per-query map times each SparkEntry query cold (scan included), matching
+  * how the driver's correctness gate runs them.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_MASTER overrides the master URL — used by the scaling
+    // runs with local-cluster[N,cores,mem] to get N real executor JVMs
+    // (single-JVM local[K] shares one heap/GC, which caps thread scaling
+    // long before core count does).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // At bench scale (hundreds of MB) the 64 MB default advisory size
+      // coalesces shuffles to ~4 partitions, capping parallelism no matter
+      // the core count; 4 MB keeps all cores fed. At production scale the
+      // default is right — this is a small-data knob.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // --- optional deterministic scale-up (SPARK_GRAFT_SCALE=K) ---
+    // Replicates events K× with disjoint event_id ranges (still seed-free
+    // and deterministic: pure arithmetic). Used by the N-vs-4N scaling runs,
+    // where the fixture SF is too small to saturate even N cores.
+    val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "1").toInt
+    val inDir = if (scale <= 1) sfDir else {
+      import java.nio.file.{Files, Paths}
+      import org.apache.spark.sql.functions._
+      val tmp = Files.createTempDirectory("graft-bench-in")
+      Seq("nation", "region", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings").foreach { t =>
+        Files.createSymbolicLink(tmp.resolve(s"$t.parquet"),
+          Paths.get(s"$sfDir/$t.parquet"))
+      }
+      // offset 10^6 keeps conv numbers < 10^6 for K ≤ 19 (conv_id is
+      // lpad-6; larger numbers would truncate-collide)
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("k", explode(sequence(lit(0L), lit(scale - 1L))))
+        .withColumn("event_id", col("event_id") + col("k") * 1000000L)
+        .drop("k")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.parquet(tmp.resolve("events.parquet").toString)
+      tmp.toString
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // --- headline: end-to-end staged pipeline ---
+    // SPARK_GRAFT_COMPUTE_ONLY=1 times the pure computation path (no stage
+    // materialization) — separates compute scaling from the single shared
+    // disk of the sandbox, which caps write-stage scaling.
+    val outDir = java.nio.file.Files.createTempDirectory("graft-bench").toString
+    val turns = spark.read.parquet(s"$inDir/events.parquet").count()
+    val computeOnly = sys.env.get("SPARK_GRAFT_COMPUTE_ONLY").contains("1")
+    val t0 = System.nanoTime()
+    val (triples, canonTriples) =
+      if (computeOnly) {
+        val n = Pipeline.canonTriples(spark, inDir).count()
+        (n, n)
+      } else Run.execute(spark, inDir, outDir, resume = false)
+    val e2eSec = (System.nanoTime() - t0) / 1e9
+
+    // --- per-query timings (cold, scan included) ---
+    // SPARK_GRAFT_E2E_ONLY=1 skips them (used for the N-vs-4N scaling runs,
+    // which time only the pipeline).
+    val e2eOnly = sys.env.get("SPARK_GRAFT_E2E_ONLY").contains("1")
+    val allQueries =
+      if (e2eOnly) Seq.empty else SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = allQueries.map { case (name, fn) =>
+      val q0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val sec = (System.nanoTime() - q0) / 1e9
+      System.err.println(f"[bench] $name%-22s $sec%8.2fs")
+      spark.catalog.clearCache() // queries persist intermediates; isolate them
+      name -> sec
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val tps = (triples / e2eSec).toLong
+    val rps = (turns / e2eSec).toLong
+    val qTotal = results.map(_._2).sum
+    println(
+      f"""{"metric":"kg_pipeline_e2e","value":$e2eSec%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","cpus":$cpus%s,"turns":$turns%d,"triples":$triples%d,"canon_triples":$canonTriples%d,"triples_per_sec":$tps%d,"turns_per_sec":$rps%d,"query_total_sec":$qTotal%.3f}""")
     spark.stop()
   }
 }

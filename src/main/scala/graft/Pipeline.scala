@@ -3,6 +3,7 @@ package graft
 import graft.model.Ns
 import graft.operators._
 import graft.sources.SynthTranscripts
+import org.apache.spark.{storage}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -30,8 +31,16 @@ object Pipeline {
     SameAs.closure(SameAs.edgesOf(triples(s, d)))
 
   def canonTriples(s: SparkSession, d: String): DataFrame = {
-    val t = triples(s, d)
-    SameAs.canonicalize(t, SameAs.closure(SameAs.edgesOf(t)))
+    // Only the FACT triples feed multiple consumers (edge extraction + the
+    // rewrite join) — persist just them. The snippet-heavy context triples
+    // stream through exactly once, uncached and untouched by the rewrite
+    // (the canon map holds identity URIs only). In the staged Run the
+    // materialized parquet plays the cache's role.
+    val l = Emit.persistedLinked(linked(s, d))
+    val facts = Emit.factTriples(s, d, transcripts(s, d), l)
+      .persist(storage.StorageLevel.MEMORY_AND_DISK)
+    val canon = SameAs.closure(SameAs.edgesOf(facts))
+    SameAs.canonicalize(facts, canon).unionAll(Emit.contextTriples(l))
   }
 
   /** Context ordinals (W1/A5) surfaced directly for verification. */

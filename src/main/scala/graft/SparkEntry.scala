@@ -49,10 +49,13 @@ object SparkEntry {
       operators.Dedup.lshCandidates(operators.Dedup.bands(
         operators.Dedup.minhash(operators.Dedup.shingles(c))))
     }),
-    // LSH candidates verified with exact n-gram Jaccard (integer decision)
+    // LSH candidates verified with exact n-gram Jaccard (integer decision).
+    // The shingle set feeds minhash + both sides of the verify join —
+    // persist it once instead of recomputing the explode 4×.
     "doc_dedup_verified" -> ((s, d) => {
       val c = operators.Dedup.corpus(sources.Tables.documents(s, d))
       val sh = operators.Dedup.shingles(c)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cand = operators.Dedup.lshCandidates(operators.Dedup.bands(
         operators.Dedup.minhash(sh)))
       operators.Dedup.jaccardVerify(cand, sh)

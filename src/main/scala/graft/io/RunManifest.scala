@@ -51,12 +51,17 @@ class RunManifest(spark: SparkSession, out: String, resume: Boolean) {
     val d = df
     d.write.mode("overwrite").parquet(dir)
     val written = spark.read.parquet(dir)
-    // per-partition lineage of the materialized stage
+    // per-partition lineage — ONE scan of the materialized stage yields the
+    // per-partition counts; totals derive from them (no second count scan)
     val lineage = written.groupBy(spark_partition_id().as("partition_id"))
       .agg(count(lit(1)).as("rows"))
-    lineage.write.mode("overwrite").parquet(s"$out/_lineage/$name")
-    val rows = written.count()
-    val nParts = written.rdd.getNumPartitions
+      .collect()
+    import spark.implicits._
+    lineage.map(r => (r.getInt(0), r.getLong(1))).toSeq
+      .toDF("partition_id", "rows")
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/_lineage/$name")
+    val rows = lineage.map(_.getLong(1)).sum
+    val nParts = lineage.length
     val wallMs = (System.nanoTime() - t0) / 1000000
     appendLine(s"""{"stage":"$name","status":"done","rows":$rows,"partitions":$nParts,"wall_ms":$wallMs}""")
     written

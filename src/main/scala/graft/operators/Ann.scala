@@ -19,11 +19,17 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Cast float embedding to double once; precompute the L2 norm. */
-  def prepared(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
+  /** Cast float embedding to double once; precompute the L2 norm. The
+    * repartition spreads the (often single-file) vector table across all
+    * cores — the pair joins below are nested-loop evaluations whose
+    * parallelism equals the stream side's partition count. */
+  def prepared(emb: DataFrame): DataFrame = {
+    val parts = emb.sparkSession.sparkContext.defaultParallelism
+    emb.repartition(parts)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+  }
 
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)

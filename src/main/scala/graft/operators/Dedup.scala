@@ -67,15 +67,14 @@ object Dedup {
   val BandSize = 3 // → 4 bands
 
   /** MinHash signatures: perm j's hash of a shingle is md5(j || '|' || s);
-    * the signature is the per-doc min. One groupBy(doc_id) with NumPerms
-    * conditional min aggregates — a single shuffle, partial-agg friendly. */
+    * the signature is the per-doc min. NumPerms min-aggregates evaluated
+    * side-by-side in ONE pass — no row blow-up, one partial-agg-friendly
+    * shuffle (vs the naive explode-by-perm which multiplies the shingle
+    * stream ×NumPerms before shuffling). */
   def minhash(sh: DataFrame): DataFrame = {
-    val perms = explode(sequence(lit(0), lit(NumPerms - 1))).as("j")
-    val hashed = sh.select(col("doc_id"), col("shingle"), perms)
-      .withColumn("h", md5(concat(col("j").cast("string"), lit("|"), col("shingle"))))
     val aggs = (0 until NumPerms).map(j =>
-      min(when(col("j") === j, col("h"))).as(s"mh$j"))
-    hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      min(md5(concat(lit(s"$j|"), col("shingle")))).as(s"mh$j"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH bands: band b's key is md5 of the concatenation of its BandSize

@@ -144,12 +144,30 @@ object Emit {
     * (map-side combine) applies because it's a hash-aggregate over all
     * columns; AQE coalesces the post-shuffle partitions.
     */
-  def allTriples(spark: SparkSession, dir: String,
-                 transcripts: DataFrame, linked: DataFrame): DataFrame =
+  /** Persist `linked` once — it feeds four fact emitters + contexts. */
+  def persistedLinked(linked: DataFrame): DataFrame =
+    if (linked.storageLevel != org.apache.spark.storage.StorageLevel.NONE) linked
+    else linked.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Fact triples (skeleton + mention facts + spatial + sameAs) with set
+    * dedup. Set semantics (the reference's rdflib graph) — but only these
+    * FACT triples can actually contain duplicates (the same (conv, pred,
+    * obj) re-emitted from different turns). Context triples are unique by
+    * construction (subject = one ctx URI per (conv, kind, ordinal), one
+    * triple per predicate), so they are routed around the distinct —
+    * removing the snippet-text payload, the bulk of the bytes, from the
+    * pipeline's biggest shuffle while producing the identical set. */
+  def factTriples(spark: SparkSession, dir: String,
+                  transcripts: DataFrame, linked: DataFrame): DataFrame =
     skeleton(transcripts)
       .unionAll(mentionTriples(linked))
       .unionAll(spatialRelTriples(linked))
-      .unionAll(contextTriples(linked))
       .unionAll(sameAsTriples(spark, dir, linked))
       .distinct()
+
+  def allTriples(spark: SparkSession, dir: String,
+                 transcripts: DataFrame, linked: DataFrame): DataFrame = {
+    val l = persistedLinked(linked)
+    factTriples(spark, dir, transcripts, l).unionAll(contextTriples(l))
+  }
 }

@@ -34,15 +34,27 @@ object SameAs {
     var i = 0
     var changed = 1L
     while (changed > 0 && i < maxIter) {
+      // hop: take the min label across every edge
       val msgs = und.join(labels, und("a") === labels("node"))
         .select(und("b").as("node"), col("label"))
-      val next = labels.unionAll(msgs)
+      val hop = labels.unionAll(msgs)
         .groupBy("node").agg(min("label").as("label"))
+      // pointer-jump: label := label(label) — shortcuts chains, turning the
+      // O(diameter) propagation into O(log diameter) iterations
+      val next = hop.as("x")
+        .join(hop.as("y"), col("x.label") === col("y.node"), "left")
+        .select(col("x.node").as("node"),
+          coalesce(col("y.label"), col("x.label")).as("label"))
         .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.label") =!= col("o.label"))
-        .count()
+      // convergence probe every 2nd iteration — with pointer jumping most
+      // closures finish in 2-3 passes, so probing each pass would spend as
+      // many driver jobs on probes as on work
+      if (i % 2 == 1 || i >= maxIter - 1) {
+        changed = next.as("n")
+          .join(labels.as("o"), col("n.node") === col("o.node"))
+          .filter(col("n.label") =!= col("o.label"))
+          .count()
+      }
       labels = next
       i += 1
     }
@@ -56,25 +68,39 @@ object SameAs {
 
   /** Rewrite subj and IRI objects through the canonical map, then re-dedup
     * (the rewrite can collapse previously distinct triples — same as the
-    * reference's PERSON_MAP substitution collapsing graph nodes). */
+    * reference's PERSON_MAP substitution collapsing graph nodes).
+    *
+    * Scale split: the canon map's domain is identity URIs (persons/VIAF),
+    * which can never appear in a context-subject triple — so the
+    * snippet-heavy context rows bypass both the join and the re-distinct.
+    * Only the (much smaller) fact subset pays the shuffle. Result is
+    * set-identical to rewriting+distincting everything.
+    */
   def canonicalize(triples: DataFrame, canon: DataFrame): DataFrame = {
-    val cs = canon.withColumnRenamed("node", "s_node")
-      .withColumnRenamed("canon", "s_canon")
-    val co = canon.withColumnRenamed("node", "o_node")
-      .withColumnRenamed("canon", "o_canon")
-    // No broadcast hint: the canon map's size is data-dependent (distinct
-    // linked entities). AQE converts these to broadcast joins at runtime
-    // when the map is small; at 10^12-turn scale with a huge identity space
-    // it falls back to a shuffle join with skew splitting.
-    triples
-      .join(cs, triples("subj") === cs("s_node"), "left")
+    val ctx = triples.filter(col("subj").startsWith(Ns.ctx))
+    val facts = triples.filter(!col("subj").startsWith(Ns.ctx))
+    // The canon map comes out of a localCheckpoint, which hides size stats
+    // from AQE — without an explicit hint these joins plan as full shuffles
+    // of the fact table. Broadcast while the identity map is broadcastable
+    // (bounded count check, cheap on the checkpointed frame); beyond the
+    // threshold fall back to shuffle joins + AQE skew splitting.
+    val small = canon.limit(3000001).count() <= 3000000
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (small) broadcast(df) else df
+    val cs = maybeBroadcast(canon.withColumnRenamed("node", "s_node")
+      .withColumnRenamed("canon", "s_canon"))
+    val co = maybeBroadcast(canon.withColumnRenamed("node", "o_node")
+      .withColumnRenamed("canon", "o_canon"))
+    val rewritten = facts
+      .join(cs, facts("subj") === cs("s_node"), "left")
       .join(co,
-        triples("obj_is_iri") && triples("obj_value") === co("o_node"), "left")
+        facts("obj_is_iri") && facts("obj_value") === co("o_node"), "left")
       .select(
         coalesce(col("s_canon"), col("subj")).as("subj"),
         col("pred"),
         coalesce(col("o_canon"), col("obj_value")).as("obj_value"),
         col("obj_is_iri"), col("obj_lang"), col("obj_dtype"))
       .distinct()
+    rewritten.unionAll(ctx)
   }
 }
