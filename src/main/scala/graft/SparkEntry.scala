@@ -88,7 +88,22 @@ object SparkEntry {
     "stream_mentions" -> ((s, d) => streaming.StreamOps.runToBatch(
       s, streaming.StreamOps.mentionStream(s, d), "stream_mentions_tbl", "append")),
     "stream_hourly" -> ((s, d) => streaming.StreamOps.runToBatch(
-      s, streaming.StreamOps.hourlyStream(s, d), "stream_hourly_tbl", "complete"))
+      s, streaming.StreamOps.hourlyStream(s, d), "stream_hourly_tbl", "complete")),
+    // §2.3 J3 retry-chain linking (primary → secondary dict → literal)
+    "kg_retry_chain" -> ((s, d) =>
+      operators.Extras.retryChainLink(s, Pipeline.mentions(s, d))),
+    // §2.4 A2 attribute regrouping (sorted deterministic lists)
+    "kg_grouped_attrs" -> ((s, d) =>
+      operators.Extras.groupedAttrs(Pipeline.linked(s, d))),
+    // §2.2 P8 keyword role detection
+    "kg_writer_acquaintances" -> ((s, d) =>
+      operators.Extras.writerAcquaintances(Pipeline.linked(s, d))),
+    // §2.7 U2 retraction-as-precedence org retyping
+    "kg_org_types" -> ((s, d) =>
+      operators.Extras.orgTypeTriples(Pipeline.linked(s, d))),
+    // §2.6 O3 deterministic top-k failure report
+    "kg_top_unmapped" -> ((s, d) =>
+      operators.Extras.topUnmapped(Pipeline.linked(s, d)))
   )
 
   def oracleSql: Map[String, String] = OracleSql.queries

@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.functions.Fns
+import graft.model.Ns
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Long-tail operators from SURVEY.md §2 not covered by the main pipeline:
+  * the retry-chain link (J3), attribute regrouping (A2), keyword role
+  * detection (P8), retraction-as-precedence (U2), and deterministic top-k
+  * reporting (O3).
+  */
+object Extras {
+
+  /** J3 — Religion→PoliticalAffiliation→Religion retry chain
+    * (`Biography/culturalForm.py:247-273`): a term missed by the primary
+    * dictionary is retried against a secondary one before falling back to
+    * a literal. Two broadcast left joins + coalesce; `source` records which
+    * stage resolved it. */
+  def retryChainLink(spark: SparkSession, mentions: DataFrame): DataFrame = {
+    import graft.sources.Dicts
+    val primary = broadcast(Dicts.occupations(spark)
+      .select(col("key"), col("term").as("p_term"), col("is_iri").as("p_is_iri")))
+    val secondary = broadcast(Dicts.politicalAffiliations(spark)
+      .select(col("key"), col("term").as("s_term")))
+    mentions.filter(col("kind") === "occupation")
+      .withColumn("key", Fns.cleanTerm(col("surface")))
+      .join(primary, Seq("key"), "left")
+      .join(secondary, Seq("key"), "left")
+      .select(col("conv_id"), col("turn_idx"), col("surface"),
+        when(col("p_term").isNotNull && col("p_is_iri"), col("p_term"))
+          .when(col("p_term").isNotNull, concat(lit("ISO-3166-2:"), col("p_term")))
+          .otherwise(coalesce(col("s_term"), col("surface"))).as("obj_value"),
+        when(col("p_term").isNotNull, lit("primary"))
+          .when(col("s_term").isNotNull, lit("retry"))
+          .otherwise(lit("literal")).as("source"))
+  }
+
+  /** A2 — regroup attributes per (conv, kind) into a deterministic sorted
+    * value list (`{pred: [values]}` regrouping, `culturalForm.py:323-330`).
+    * Serialized as a '|'-joined sorted distinct string so set-hash compare
+    * is order-stable. */
+  def groupedAttrs(linked: DataFrame): DataFrame =
+    linked.filter(
+      !col("kind").isin("place", "place_left") || col("matched"))
+      .groupBy("conv_id", "kind")
+      .agg(array_join(array_sort(collect_set(col("obj_value"))), "|").as("vals"),
+        count(lit(1)).as("n_mentions"))
+
+  /** P8 — keyword role detection (`Biography/biography.py:39-55`: a NAME
+    * whose surrounding text contains "biographer <name>" is typed as a
+    * biographer). Graft analog: a person mentioned in a turn that declares
+    * "working as novelist" is linked as a writer acquaintance. */
+  def writerAcquaintances(linked: DataFrame): DataFrame =
+    linked.filter(col("kind") === "person" &&
+        lower(col("text")).contains("working as novel"))
+      .select(concat(lit(Ns.conv), col("conv_id")).as("subj"),
+        lit(Ns.pred + "knowsWriter").as("pred"),
+        col("obj_value")).distinct()
+
+  /** U2 — triple retraction as an emit-time precedence rule
+    * (`Utils/organizations.py:138` removes the default foaf:Organization
+    * typing when an org is retyped; union-distinct is monotone so the
+    * retraction becomes "the retyped rows suppress the default",
+    * SURVEY.md §7.4 hard-part 4). Orgs mentioned ≥3 times across the corpus
+    * are retyped MajorOrg; their default Org typing is withheld via
+    * left_anti. */
+  def orgTypeTriples(linked: DataFrame): DataFrame = {
+    val orgs = linked.filter(col("kind") === "org" && col("matched"))
+      .groupBy(col("obj_value").as("org_uri"))
+      .agg(count(lit(1)).as("n"))
+    val major = orgs.filter(col("n") >= 3)
+      .select(col("org_uri"), lit(Ns.kg + "type/MajorOrg").as("type_uri"))
+    val default = orgs.select(col("org_uri"),
+      lit(Ns.kg + "type/Org").as("type_uri"))
+      .join(major.select("org_uri"), Seq("org_uri"), "left_anti")
+    default.unionAll(major)
+  }
+
+  /** O3 — failure histogram as a deterministic top-k report
+    * (`culturalForm.py:626` sorts fails desc): full tie-break
+    * (n desc, kind, surface) so LIMIT is reproducible. */
+  def topUnmapped(linked: DataFrame, k: Int = 5): DataFrame =
+    linked.filter(!col("matched"))
+      .groupBy("kind", "surface")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("kind"), col("surface"))
+      .limit(k)
+}

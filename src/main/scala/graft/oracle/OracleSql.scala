@@ -250,7 +250,47 @@ SELECT conv_id, turn_idx, lexical,
        WHEN length(lexical) = 10 THEN lexical || ' 23:59:59'
        ELSE lexical END AS interval_end
 FROM lex""")
-  ) ++ docQueries ++ annQueries ++ eventQueries ++ streamQueries
+  ) ++ extraQueries ++ docQueries ++ annQueries ++ eventQueries ++ streamQueries
+
+  /** PA dictionary rows for the retry chain (mirrors Dicts.paRows). */
+  private val paDictValues = Dicts.paRows
+    .flatMap { case (rid, term, alts) => alts.map(a => s"($rid,'$term','$a')") }
+    .mkString(",")
+
+  private lazy val extraQueries: Map[String, String] = Map(
+    "kg_retry_chain" ->
+      (BASE + s""", pa_dict_raw(row_id, term, alt) AS (VALUES $paDictValues),
+pa_dict AS (SELECT ${stem("alt")} AS key, min_by(term, row_id) AS term
+            FROM pa_dict_raw GROUP BY 1)
+SELECT m.conv_id, m.turn_idx, m.surface,
+  CASE WHEN p.term LIKE 'http%' THEN p.term
+       WHEN p.term IS NOT NULL THEN 'ISO-3166-2:' || p.term
+       ELSE COALESCE(s.term, m.surface) END AS obj_value,
+  CASE WHEN p.term IS NOT NULL THEN 'primary'
+       WHEN s.term IS NOT NULL THEN 'retry' ELSE 'literal' END AS source
+FROM men m
+LEFT JOIN occ_dict p ON ${stem("m.surface")} = p.key
+LEFT JOIN pa_dict s ON ${stem("m.surface")} = s.key
+WHERE m.kind = 'occupation'"""),
+    "kg_grouped_attrs" ->
+      (BASE + """SELECT conv_id, kind,
+  string_agg(DISTINCT obj_value, '|' ORDER BY obj_value) AS vals,
+  count(*) AS n_mentions
+FROM emitting GROUP BY conv_id, kind"""),
+    "kg_writer_acquaintances" ->
+      (BASE + s"""SELECT DISTINCT '${Ns.conv}' || conv_id AS subj,
+  '${Ns.pred}knowsWriter' AS pred, obj_value
+FROM linked WHERE kind = 'person' AND lower(text) LIKE '%working as novel%'"""),
+    "kg_org_types" ->
+      (BASE + s""", orgs AS (
+  SELECT obj_value AS org_uri, count(*) AS n FROM linked
+  WHERE kind = 'org' AND matched GROUP BY 1)
+SELECT org_uri,
+  CASE WHEN n >= 3 THEN '${Ns.kg}type/MajorOrg' ELSE '${Ns.kg}type/Org' END AS type_uri
+FROM orgs"""),
+    "kg_top_unmapped" ->
+      (BASE + """SELECT kind, surface, count(*) AS n FROM linked WHERE NOT matched
+GROUP BY 1, 2 ORDER BY n DESC, kind, surface LIMIT 5"""))
 
   // ----- documents: dedup + text analysis -----
 

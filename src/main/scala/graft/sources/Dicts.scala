@@ -38,6 +38,25 @@ object Dicts {
     (8, "CA-ON",             Seq("Ontarian")) // non-http term → ISO literal path
   )
 
+  /** Secondary "political affiliation"-style dictionary for the retry
+    * chain (J3, `Biography/culturalForm.py:247-273`: Religion-with-retry →
+    * PoliticalAffiliation → Religion): terms absent from the primary
+    * occupation dictionary may still resolve here. */
+  val paRows: Seq[(Int, String, Seq[String])] = Seq(
+    (0, Ns.kg + "pa/shadow-cabinet", Seq("zorbulator"))
+  )
+
+  /** The retry-chain fallback dictionary, normalized like occupations. */
+  def politicalAffiliations(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val raw = paRows
+      .flatMap { case (rid, term, alts) => alts.map(a => (rid, term, a)) }
+      .toDF("row_id", "term", "alt")
+    raw.select(Fns.cleanTerm(col("alt")).as("key"), col("term"), col("row_id"))
+      .groupBy("key")
+      .agg(min_by(col("term"), col("row_id")).as("term"))
+  }
+
   /** Occupations: explode alt labels, normalize with the cf clean_term
     * stemmer, keep first row per key. Output: (key, term, is_iri). */
   def occupations(spark: SparkSession): DataFrame = {
