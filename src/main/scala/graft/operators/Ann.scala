@@ -28,11 +28,17 @@ object Ann {
     emb.repartition(parts)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
   }
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Fused codegen'd dot product (graft.plans.DotProduct) — bit-equal to
+    * `aggregate(zip_with(a,b,_*_), 0.0, _+_)` but without the per-row
+    * intermediate array; registration is idempotent per session. */
+  private def dot(a: Column, b: Column): Column = {
+    graft.plans.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_dot", a, b)
+  }
 
   /** Brute-force cosine top-k. Queries: vec_id % 25 == 0 (a deterministic
     * probe set). Output (query_id, neighbor_id, rank), rank 1..k by
