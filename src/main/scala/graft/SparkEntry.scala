@@ -103,7 +103,19 @@ object SparkEntry {
       operators.Extras.orgTypeTriples(Pipeline.linked(s, d))),
     // §2.6 O3 deterministic top-k failure report
     "kg_top_unmapped" -> ((s, d) =>
-      operators.Extras.topUnmapped(Pipeline.linked(s, d)))
+      operators.Extras.topUnmapped(Pipeline.linked(s, d))),
+    // §2.3 J4 fuzzy (levenshtein≤1) place retry on exact-miss
+    "kg_fuzzy_place" -> ((s, d) =>
+      operators.Extras.fuzzyPlaceLink(s, d, Pipeline.linked(s, d))),
+    // §2.2 P11 generic-name stoplist suppression
+    "kg_stoplist" -> ((s, d) =>
+      operators.Extras.stoplistFiltered(Pipeline.linked(s, d))),
+    // §2.3 J9 employer attach (co-mention join)
+    "kg_employer" -> ((s, d) =>
+      operators.Extras.employerAttach(Pipeline.linked(s, d))),
+    // §2.6 O2 deterministic sample selection
+    "kg_sample" -> ((s, d) =>
+      operators.Extras.sampleConvs(Pipeline.transcripts(s, d)))
   )
 
   def oracleSql: Map[String, String] = OracleSql.queries

@@ -85,6 +85,41 @@ object Fns {
     */
   def snippet(c: Column, maxWords: Int = 20): Column = limitWords(c, maxWords)
 
+  /** `limit_to_full_sentences(s, max)` (`Utils/utilities.py:266-281`):
+    * split on '.', accumulate whole sentences while the accumulated text
+    * has fewer than `max` spaces, re-append '.', then collapse the ".  ."
+    * artifact — replayed exactly, quirks included.
+    */
+  def limitToFullSentences(c: Column, maxWords: Int): Column = {
+    val s = trim(c)
+    val acc = aggregate(split(s, "\\."), lit(""), (acc, x) => {
+      val candidate = concat(acc, trim(x))
+      val withDot = when(candidate.endsWith("."), candidate)
+        .otherwise(concat(candidate, lit(".")))
+      when(size(split(acc, " ")) - 1 < maxWords, withDot).otherwise(acc)
+    })
+    when(s === "", s).otherwise(regexp_replace(acc, "\\.  \\.", ". "))
+  }
+
+  /** F9 — the 13-format date-parse cascade (`Utils/activity.py:82-169`),
+    * reduced to the formats that can occur in transcript payloads: ISO
+    * date/dateTime, year-month, bare year, and common written forms.
+    * Returns null (never throws) on unparseable input, like the
+    * reference's `parsed=False` path.
+    */
+  def dateParseCascade(c: Column): Column = {
+    val t = trim(c)
+    coalesce(
+      try_to_timestamp(t, lit("yyyy-MM-dd HH:mm:ss")),
+      try_to_timestamp(t, lit("yyyy-MM-dd")),
+      try_to_timestamp(concat(t, lit("-01")), lit("yyyy-MM-dd")),   // yyyy-MM
+      try_to_timestamp(concat(t, lit("-01-01")), lit("yyyy-MM-dd")), // yyyy
+      try_to_timestamp(t, lit("MMMM d, yyyy")),
+      try_to_timestamp(t, lit("d MMMM yyyy")),
+      try_to_timestamp(t, lit("MMMM yyyy")),
+      try_to_timestamp(t, lit("MM/dd/yyyy")))
+  }
+
   /** `format_date` length-dispatch (`Utils/activity.py:52-73`,
     * `Utils/event.py:90-110`): the reference tags the literal's datatype by
     * the LEXICAL LENGTH of the date string (19→dateTime, 10→date,

@@ -77,6 +77,58 @@ object Extras {
     default.unionAll(major)
   }
 
+  /** J4 — fuzzy place link (`Mods/modsBib.py:89,241-285` fuzz.ratio ≥ 95 ≈
+    * near-exact): places the exact join missed are retried against the
+    * broadcast dictionary with levenshtein ≤ 1 on the normalized key; best
+    * candidate by (distance, uri) — a theta-join against a broadcast side,
+    * so the fact side still never shuffles. */
+  def fuzzyPlaceLink(spark: SparkSession, dir: String, linked: DataFrame): DataFrame = {
+    val dict = broadcast(graft.sources.Dicts.places(spark, dir)
+      .select(col("key").as("dkey"), col("uri")))
+    val misses = linked.filter(col("kind") === "place" && !col("matched"))
+      .select(col("conv_id"), col("turn_idx"), col("surface"),
+        Fns.cleanTermSimple(col("surface")).as("key"))
+    val cands = misses.join(dict,
+      levenshtein(col("key"), col("dkey")) <= 1)
+      .withColumn("lev", levenshtein(col("key"), col("dkey")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("conv_id", "turn_idx", "surface")
+      .orderBy(col("lev"), col("uri"))
+    cands.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("conv_id"), col("turn_idx"), col("surface"),
+        col("uri"), col("lev"))
+  }
+
+  /** P11 — generic-name stoplist (`Utils/context.py:381-395`: suppress
+    * altLabel emission for "he/she/wife/king/…"): occupation surfaces on
+    * the stoplist don't get label triples. */
+  val genericStoplist: Seq[String] = Seq("floozle", "zorbulator")
+  def stoplistFiltered(linked: DataFrame): DataFrame =
+    linked.filter(col("kind") === "occupation" &&
+        !col("surface").isin(genericStoplist: _*))
+      .select(col("conv_id"), col("turn_idx"), col("surface")).distinct()
+
+  /** J9 — employer attach (`Biography/occupation.py:247-257,289-311`: the
+    * first NAME/ORGNAME inside an EMPLOYER block becomes the activity's
+    * participant): a turn carrying both an occupation and an org mention
+    * links the conversation to the employer. */
+  def employerAttach(linked: DataFrame): DataFrame = {
+    val occs = linked.filter(col("kind") === "occupation")
+      .select(col("conv_id"), col("turn_idx"))
+    val orgs = linked.filter(col("kind") === "org" && col("matched"))
+      .select(col("conv_id"), col("turn_idx"), col("obj_value"))
+    orgs.join(occs, Seq("conv_id", "turn_idx"))
+      .select(concat(lit(Ns.conv), col("conv_id")).as("subj"),
+        lit(Ns.pred + "employedAt").as("pred"), col("obj_value")).distinct()
+  }
+
+  /** O2 — deterministic sample selection (`Utils/utilities.py:660-671`
+    * first/last/random-N, made reproducible): every 10th conversation by
+    * conv number (content-derived, partition-order-free). */
+  def sampleConvs(transcripts: DataFrame): DataFrame =
+    transcripts.filter(
+      substring(col("conv_id"), 6, 10).cast("int") % 10 === 0)
+
   /** O3 — failure histogram as a deterministic top-k report
     * (`culturalForm.py:626` sorts fails desc): full tie-break
     * (n desc, kind, surface) so LIMIT is reproducible. */

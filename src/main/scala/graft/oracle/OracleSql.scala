@@ -290,7 +290,32 @@ SELECT org_uri,
 FROM orgs"""),
     "kg_top_unmapped" ->
       (BASE + """SELECT kind, surface, count(*) AS n FROM linked WHERE NOT matched
-GROUP BY 1, 2 ORDER BY n DESC, kind, surface LIMIT 5"""))
+GROUP BY 1, 2 ORDER BY n DESC, kind, surface LIMIT 5"""),
+    "kg_fuzzy_place" ->
+      (BASE + s""", misses AS (
+  SELECT conv_id, turn_idx, surface, ${cleanSimple("surface")} AS key
+  FROM linked WHERE kind = 'place' AND NOT matched),
+cands AS (
+  SELECT m.conv_id, m.turn_idx, m.surface, d.uri,
+         levenshtein(m.key, d.key) AS lev
+  FROM misses m JOIN place_dict d ON levenshtein(m.key, d.key) <= 1),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx, surface
+                               ORDER BY lev, uri) AS rn
+  FROM cands)
+SELECT conv_id, turn_idx, surface, uri, lev FROM ranked WHERE rn = 1"""),
+    "kg_stoplist" ->
+      (BASE + """SELECT DISTINCT conv_id, turn_idx, surface FROM linked
+WHERE kind = 'occupation' AND surface NOT IN ('floozle','zorbulator')"""),
+    "kg_employer" ->
+      (BASE + s"""SELECT DISTINCT '${Ns.conv}' || o.conv_id AS subj,
+  '${Ns.pred}employedAt' AS pred, o.obj_value
+FROM linked o JOIN linked c
+  ON c.conv_id = o.conv_id AND c.turn_idx = o.turn_idx AND c.kind = 'occupation'
+WHERE o.kind = 'org' AND o.matched"""),
+    "kg_sample" ->
+      (BASE + """SELECT conv_id, turn_idx, role, text, tool, ts FROM tr
+WHERE CAST(substr(conv_id, 6) AS INT) % 10 = 0"""))
 
   // ----- documents: dedup + text analysis -----
 
