@@ -115,7 +115,22 @@ object SparkEntry {
       operators.Extras.employerAttach(Pipeline.linked(s, d))),
     // §2.6 O2 deterministic sample selection
     "kg_sample" -> ((s, d) =>
-      operators.Extras.sampleConvs(Pipeline.transcripts(s, d)))
+      operators.Extras.sampleConvs(Pipeline.transcripts(s, d))),
+    // §2.1 K2 N-Triples text export (pure projection)
+    "kg_nt_lines" -> ((s, d) => io.NTriples.export(Pipeline.triples(s, d))),
+    // direct n-gram Jaccard on the known near-dup pairs (no LSH)
+    "doc_jaccard_pairs" -> ((s, d) => {
+      val c = operators.Dedup.corpus(sources.Tables.documents(s, d))
+      val sh = operators.Dedup.shingles(c)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      import org.apache.spark.sql.functions._
+      val pairs = sources.Tables.documents(s, d)
+        .select(col("doc_id").as("a"), (col("doc_id") + 100000).as("b"))
+      operators.Dedup.jaccardVerify(pairs, sh)
+    }),
+    // multimodal frame sampling (relational twin of the byte kernel)
+    "mm_frames" -> ((s, d) =>
+      operators.Multimodal.frameSampleRelational(sources.Tables.documents(s, d)))
   )
 
   def oracleSql: Map[String, String] = OracleSql.queries

@@ -44,6 +44,37 @@ object Multimodal {
       .toDF()
   }
 
+  /** Resize stub: a real implementation scales pixel buffers; the stub
+    * rescales the fake dimensions deterministically (aspect-preserving
+    * integer arithmetic), keeping the batch/kernel shape identical. */
+  def resizeStub(f: MediaFeatures, maxSide: Int): MediaFeatures = {
+    val side = math.max(math.max(f.width, f.height), 1)
+    if (side <= maxSide) f
+    else f.copy(width = f.width * maxSide / side, height = f.height * maxSide / side)
+  }
+
+  /** Frame-sample stub for video-like payloads: pick every k-th "frame"
+    * (byte offset) deterministically. Returns (doc_id, frame_idx, byte). */
+  def frameSampleKernel(spark: SparkSession, docs: DataFrame, k: Int = 64): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .as[MediaRow]
+      .flatMap { m =>
+        m.blob.indices.by(k).map(i => (m.doc_id, i, m.blob(i).toInt & 0xff))
+      }
+      .toDF("doc_id", "frame_idx", "byte")
+  }
+
+  /** Relational twin of frameSampleKernel (oracle-checkable; byte ==
+    * ascii(char) holds because the corpus is ASCII — the kernel itself is
+    * byte-correct for any payload). */
+  def frameSampleRelational(docs: DataFrame, k: Int = 64): DataFrame = {
+    val idx = sequence(lit(0), greatest(length(col("text")) - 1, lit(0)), lit(k))
+    docs.select(col("doc_id"), col("text"), explode(idx).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        ascii(expr("substr(text, frame_idx + 1, 1)")).as("byte"))
+  }
+
   /** Relational twin of the kernel (same arithmetic in Column expressions)
     * — this is what the DuckDB oracle checks; ScalaTest asserts the kernel
     * produces identical rows. */

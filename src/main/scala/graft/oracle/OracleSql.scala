@@ -315,7 +315,17 @@ FROM linked o JOIN linked c
 WHERE o.kind = 'org' AND o.matched"""),
     "kg_sample" ->
       (BASE + """SELECT conv_id, turn_idx, role, text, tool, ts FROM tr
-WHERE CAST(substr(conv_id, 6) AS INT) % 10 = 0"""))
+WHERE CAST(substr(conv_id, 6) AS INT) % 10 = 0"""),
+    "kg_nt_lines" ->
+      (BASE + """SELECT '<' || subj || '> <' || pred || '> ' ||
+  CASE WHEN obj_is_iri THEN '<' || obj_value || '>'
+       WHEN obj_lang <> '' THEN '"' || obj_value || '"@' || obj_lang
+       WHEN obj_dtype <> '' THEN '"' || obj_value || '"^^<' || obj_dtype || '>'
+       ELSE '"' || obj_value || '"' END || ' .' AS line
+FROM all_triples"""),
+    "mm_frames" -> """
+SELECT doc_id, frame_idx, ascii(substr(text, CAST(frame_idx AS INT) + 1, 1)) AS byte
+FROM (SELECT doc_id, text, unnest(range(0, strlen(text), 64)) AS frame_idx FROM documents)""")
 
   // ----- documents: dedup + text analysis -----
 
@@ -373,6 +383,21 @@ FROM cand c
 LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
 JOIN sizes na ON na.doc_id = c.a
 JOIN sizes nb ON nb.doc_id = c.b"""),
+    "doc_jaccard_pairs" -> (CORPUS + """
+, pairs AS (SELECT doc_id AS a, doc_id + 100000 AS b FROM documents),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY 1),
+inter AS (
+  SELECT p.a, p.b, count(*) AS inter
+  FROM pairs p JOIN sh3 sa ON sa.doc_id = p.a
+               JOIN sh3 sb ON sb.doc_id = p.b AND sb.shingle = sa.shingle
+  GROUP BY p.a, p.b)
+SELECT p.a, p.b, COALESCE(i.inter, 0) AS inter,
+       na.n + nb.n - COALESCE(i.inter, 0) AS uni,
+       COALESCE(i.inter, 0) * 5 >= (na.n + nb.n - COALESCE(i.inter, 0)) * 4 AS is_dup
+FROM pairs p
+LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+JOIN sizes na ON na.doc_id = p.a
+JOIN sizes nb ON nb.doc_id = p.b"""),
     "doc_simhash" -> (CORPUS + """
 , wd AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM corpus),
 wv AS (SELECT doc_id,

@@ -77,6 +77,20 @@ class MultimodalSpec extends SparkSpec {
     assert(kernel == rel)
     assert(kernel.nonEmpty)
   }
+
+  test("frame-sample byte kernel ≡ relational twin (ASCII corpus)") {
+    val docs = sources.Tables.documents(spark, sfDir)
+    val kernel = Multimodal.frameSampleKernel(spark, docs).collect().toSet
+    val rel = Multimodal.frameSampleRelational(docs).collect().toSet
+    assert(kernel == rel)
+  }
+
+  test("resize stub preserves aspect and bounds the long side") {
+    val f = Multimodal.MediaFeatures(1L, 1000, 500, 320, 3, "x")
+    val r = Multimodal.resizeStub(f, 100)
+    assert(r.width == 100 && r.height == 64)
+    assert(Multimodal.resizeStub(r, 100) == r) // idempotent under bound
+  }
 }
 
 /** BASELINE.json per-row invariant: per-turn text equality under stable
