@@ -130,7 +130,11 @@ object SparkEntry {
     }),
     // multimodal frame sampling (relational twin of the byte kernel)
     "mm_frames" -> ((s, d) =>
-      operators.Multimodal.frameSampleRelational(sources.Tables.documents(s, d)))
+      operators.Multimodal.frameSampleRelational(sources.Tables.documents(s, d))),
+    // north-star batched mapPartitions kernel over salted conv buckets —
+    // must equal the Catalyst projection (same oracle as kg_mentions)
+    "kg_mentions_kernel" -> ((s, d) =>
+      operators.MentionKernel.extract(s, Pipeline.transcripts(s, d)))
   )
 
   def oracleSql: Map[String, String] = OracleSql.queries

@@ -185,6 +185,8 @@ canon AS (SELECT n AS node, min(m) AS canon FROM reach GROUP BY n)
       (BASE + "SELECT conv_id, turn_idx, role, text, tool, ts FROM tr"),
     "kg_mentions" ->
       (BASE + "SELECT conv_id, turn_idx, kind, surface FROM men"),
+    "kg_mentions_kernel" ->
+      (BASE + "SELECT conv_id, turn_idx, kind, surface FROM men"),
     "kg_linked" ->
       (BASE + """SELECT conv_id, turn_idx, kind, surface, matched,
                  obj_value, obj_is_iri, obj_lang, obj_dtype FROM linked"""),
