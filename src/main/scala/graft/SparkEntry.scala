@@ -75,6 +75,8 @@ object SparkEntry {
     "ann_topk" -> ((s, d) => operators.Ann.bruteForceTopK(sources.Tables.embeddings(s, d))),
     // random-hyperplane LSH bucket signatures
     "ann_lsh_buckets" -> ((s, d) => operators.Ann.lshBuckets(sources.Tables.embeddings(s, d))),
+    // LSH-bucketed ANN search (candidates = same signature; the scale path)
+    "ann_lsh_search" -> ((s, d) => operators.Ann.lshSearch(sources.Tables.embeddings(s, d))),
     // embedding-cosine near-duplicate pairs
     "emb_neardup" -> ((s, d) => operators.Ann.nearDupPairs(sources.Tables.embeddings(s, d))),
     // multimodal binary-column featurization (relational twin of the kernel)

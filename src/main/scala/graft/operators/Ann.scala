@@ -79,6 +79,27 @@ object Ann {
       .agg(sum("bit").cast("long").as("bucket"))
   }
 
+  /** LSH-bucketed ANN search — the 10^9-vector scale path: each query only
+    * scores vectors sharing its full hyperplane signature, so the pair
+    * space shrinks from |Q|×N to per-bucket joins (equi-join on bucket —
+    * shuffle/broadcast-friendly, no nested loop over the corpus). Top-k
+    * within candidates; recall improves with fewer planes / multiple
+    * tables, tested against the exact brute force. */
+  def lshSearch(emb: DataFrame, k: Int = 5): DataFrame = {
+    val p = prepared(emb).join(lshBuckets(emb), "vec_id")
+    val q = p.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qn"), col("bucket"))
+    val cands = p.join(broadcast(q),
+      p("bucket") === q("bucket") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("norm")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+  }
+
   /** Near-duplicate pairs over the augmented corpus (original ∪ 2×-scaled
     * copies at vec_id+100000): cosine ≥ 0.999, a < b. */
   def nearDupPairs(emb: DataFrame): DataFrame = {

@@ -481,6 +481,32 @@ proj AS (SELECT vec_id, pl, sum(w * x) AS proj FROM p GROUP BY 1, 2)
 SELECT vec_id,
   CAST(sum(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << CAST(pl AS INT)) ELSE 0 END) AS BIGINT) AS bucket
 FROM proj GROUP BY vec_id""",
+    "ann_lsh_search" -> """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+d AS (SELECT vec_id, i - 1 AS i, v[i] AS x
+      FROM (SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS i FROM e)),
+p AS (SELECT vec_id, i, x, t.pl,
+        CASE WHEN strpos('0123456789abcdef',
+               substr(md5(CAST(t.pl AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) % 2 = 1
+             THEN 1.0 ELSE -1.0 END AS w
+      FROM d, range(0, 8) t(pl)),
+proj AS (SELECT vec_id, pl, sum(w * x) AS proj FROM p GROUP BY 1, 2),
+buckets AS (
+  SELECT vec_id,
+    CAST(sum(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << CAST(pl AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id),
+nb AS (SELECT n.vec_id, n.v, n.nrm, b.bucket FROM n JOIN buckets b ON b.vec_id = n.vec_id),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket FROM nb WHERE vec_id % 25 = 0),
+s AS (
+  SELECT q.query_id, nb.vec_id AS neighbor_id,
+         list_dot_product(q.qv, nb.v) / (q.qn * nb.nrm) AS cos
+  FROM q JOIN nb ON nb.bucket = q.bucket AND nb.vec_id <> q.query_id),
+r AS (SELECT query_id, neighbor_id,
+        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5""",
     "emb_neardup" -> """
 WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
 aug AS (

@@ -25,4 +25,23 @@ class DotProductSpec extends SparkSpec {
     val topk = operators.Ann.bruteForceTopK(sources.Tables.embeddings(spark, sfDir))
     assert(topk.count() == topk.select("query_id").distinct().count() * 5)
   }
+
+  test("lshSearch results ⊆ same-bucket candidates; scaled twins always found") {
+    import org.apache.spark.sql.functions._
+    val emb = sources.Tables.embeddings(spark, sfDir)
+    // augmented: 2×-scaled copies — identical hyperplane signs, so LSH must
+    // place each twin in its original's bucket and surface it as rank 1
+    val aug = emb.select(col("vec_id"), col("embedding"))
+      .unionAll(emb.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+    val res = operators.Ann.lshSearch(aug)
+      .as[(Long, Long, Int)].collect()
+    val rank1 = res.filter(_._3 == 1).map(r => r._1 -> r._2).toMap
+    val queries = rank1.keySet.filter(_ < 100000)
+    assert(queries.nonEmpty)
+    queries.foreach { q =>
+      assert(rank1(q) == q + 100000, s"query $q should retrieve its scaled twin")
+    }
+  }
 }
