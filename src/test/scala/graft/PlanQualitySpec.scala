@@ -1,0 +1,31 @@
+package graft
+
+/** Plan-quality regression guards: the properties that make this pipeline
+  * scale must stay visible in the physical plan (SURVEY.md §4) — a future
+  * edit that silently turns a dictionary link into a fact-side shuffle or
+  * widens a scan should fail here, not in production.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  test("all four dictionary links plan as broadcast hash joins, never SMJ") {
+    val plan = Pipeline.linked(spark, sfDir).queryExecution.executedPlan.toString
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 4, s"expected ≥4 broadcast joins, got $broadcasts")
+    assert(!plan.contains("SortMergeJoin"),
+      "dictionary linking must not shuffle the fact side")
+  }
+
+  test("extraction scan is column-pruned (unused event columns not read)") {
+    val plan = Pipeline.mentions(spark, sfDir).queryExecution.executedPlan.toString
+    // mention extraction needs event_id/event_type (+ts via transcripts
+    // projection pruning); the wide columns must not reach the scan
+    assert(!plan.contains("props"), "props must be pruned from the scan")
+    assert(!plan.contains("user_id"), "user_id must be pruned from the scan")
+  }
+
+  test("whole-stage codegen covers the extraction path (no UDF breaks)") {
+    val plan = Pipeline.mentions(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), "extraction should sit in codegen stage 1")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+  }
+}
