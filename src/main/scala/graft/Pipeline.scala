@@ -43,13 +43,15 @@ object Pipeline {
     SameAs.canonicalize(facts, canon).unionAll(Emit.contextTriples(l))
   }
 
-  /** Context ordinals (W1/A5) surfaced directly for verification. */
+  /** Context ordinals (W1/A5) surfaced directly for verification. Ordering
+    * is (turn_idx, midx) — document order, deterministic when one turn
+    * carries several mentions of a kind. */
   def ordinals(s: SparkSession, d: String): DataFrame = {
     val emitting = linked(s, d).filter(
       !col("kind").isin("place", "place_left") || col("matched"))
     val w = Window.partitionBy(col("conv_id"), col("kind"))
-      .orderBy(col("turn_idx"))
-    emitting.select(col("conv_id"), col("turn_idx"), col("kind"))
+      .orderBy(col("turn_idx"), col("midx"))
+    emitting.select(col("conv_id"), col("turn_idx"), col("kind"), col("midx"))
       .withColumn("ordinal", row_number().over(w))
       .withColumn("ctx_uri",
         concat(lit(Ns.ctx), col("conv_id"), lit("_"), col("kind"),
@@ -76,9 +78,12 @@ object Pipeline {
   }
 
   /** A7 "first mentioned" person per conversation
-    * (`Biography/biography.py:139-144`: mother/father = first mentioned). */
+    * (`Biography/biography.py:139-144`: mother/father = first mentioned).
+    * Order key is document order (turn_idx, midx) packed into one integer
+    * so min_by stays deterministic with several mentions per turn. */
   def firstPerson(s: SparkSession, d: String): DataFrame =
     linked(s, d).filter(col("kind") === "person")
       .groupBy("conv_id")
-      .agg(min_by(col("obj_value"), col("turn_idx")).as("first_person"))
+      .agg(min_by(col("obj_value"), col("turn_idx") * 100 + col("midx"))
+        .as("first_person"))
 }

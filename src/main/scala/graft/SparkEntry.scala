@@ -15,11 +15,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // input synthesis — also the per-turn text-equality invariant check
     "kg_transcripts" -> ((s, d) => Pipeline.transcripts(s, d)),
-    // §2.2 mention detection (P1/P4-P7)
+    // §2.2 mention detection (P1/P4-P7) — all matches per turn (find_all
+    // parity), midx = document-order match position within (turn, kind)
     "kg_mentions" -> ((s, d) => Pipeline.mentions(s, d)
-      .select("conv_id", "turn_idx", "kind", "surface")),
+      .select("conv_id", "turn_idx", "kind", "midx", "surface")),
     // §2.3 entity linking (J1/J2/J5) incl. fallback + ISO-literal paths
-    "kg_linked" -> ((s, d) => Pipeline.linked(s, d).drop("text")),
+    "kg_linked" -> ((s, d) => Pipeline.linked(s, d).drop("text", "ts")),
     // §2.4 A5 / §2.5 W1 ordinal windows
     "kg_ordinals" -> ((s, d) => Pipeline.ordinals(s, d)),
     // full emission + union-distinct (A1)

@@ -79,11 +79,22 @@ object Fns {
     when(size(wordsArr) > n, concat(kept, lit("..."))).otherwise(kept)
   }
 
-  /** Snippet builder core (`Utils/context.py:256-281` F7): here the
-    * transcript graft needs only: collapse whitespace, cap words, trim.
-    * Exact replay order matters for text-equality parity with the oracle.
+  /** Snippet builder (`Utils/context.py:256-281` F7), replayed in the
+    * reference's exact step order: (1) sentence budget via
+    * limit_to_full_sentences (context.py:264), (2) the date→"date: "
+    * insertion is skipped — transcript text carries no inline DATE tags,
+    * (3) "\n"→" ", (4) "."→". ", (5) "  "→" ", (6) strip
+    * (context.py:277-281). All replaces are single left-to-right passes,
+    * matching Python str.replace semantics. Order matters for parity.
     */
-  def snippet(c: Column, maxWords: Int = 20): Column = limitWords(c, maxWords)
+  val SnippetMaxWords = 12
+  def snippet(c: Column, maxWords: Int = SnippetMaxWords): Column = {
+    val budgeted = limitToFullSentences(c, maxWords)
+    val s1 = regexp_replace(budgeted, "\n", " ")
+    val s2 = regexp_replace(s1, "\\.", ". ")
+    val s3 = regexp_replace(s2, "  ", " ")
+    trim(s3)
+  }
 
   /** `limit_to_full_sentences(s, max)` (`Utils/utilities.py:266-281`):
     * split on '.', accumulate whole sentences while the accumulated text

@@ -40,6 +40,7 @@ final case class Mention(
     conv_id: String,
     turn_idx: Int,
     kind: String,    // place | person | org | occupation | place_left
+    midx: Int,       // 0-based match position within (turn, kind) — document order
     surface: String  // raw surface form as it appeared in text
 )
 

@@ -90,7 +90,7 @@ object Emit {
     val emitting = linked.filter(
       !col("kind").isin("place", "place_left") || col("matched"))
     val w = Window.partitionBy(col("conv_id"), col("kind"))
-      .orderBy(col("turn_idx"))
+      .orderBy(col("turn_idx"), col("midx"))
     val ctx = emitting
       .withColumn("ordinal", row_number().over(w))
       .withColumn("ctx_uri",
@@ -108,7 +108,7 @@ object Emit {
       lit("").as("obj_dtype"))
     val snip = ctx.select(col("ctx_uri").as("subj"),
       lit(Ns.hasSnippet).as("pred"),
-      Fns.snippet(col("text"), 20).as("obj_value"),
+      Fns.snippet(col("text")).as("obj_value"),
       lit(false).as("obj_is_iri"), lit("en").as("obj_lang"),
       lit("").as("obj_dtype"))
     typed.unionAll(target).unionAll(snip)

@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions._
   */
 object Mentions {
 
-  /** Frames: kind → (regex, group). ≤1 mention of each kind per turn. */
+  /** Frames: kind → (regex, group). A turn may carry ANY number of mentions
+    * of each kind — all matches are collected, in document order, like the
+    * reference's `find_all` (`Utils/utilities.py:351-360`). */
   val frames: Seq[(String, String)] = Seq(
     "place"      -> "visited (Nation_[0-9]+)",
     "place_left" -> "leaving (Nation_[0-9]+)",
@@ -25,20 +27,23 @@ object Mentions {
     "occupation" -> "working as ([A-Za-z-]+)")
 
   /** transcripts(conv_id, turn_idx, role, text, tool, ts)
-    * → mentions(conv_id, turn_idx, kind, surface, text).
-    * `text` rides along so downstream context emission can build snippets
-    * without a join back to the scan (SURVEY.md §2.8 F7).
+    * → mentions(conv_id, turn_idx, kind, midx, surface, text, ts).
+    * `midx` is the 0-based match position of this mention within its
+    * (turn, kind) — the document-order tiebreak that keeps ordinals and
+    * first-mention selection deterministic when a turn mentions a kind
+    * more than once. `text`/`ts` ride along so downstream context/activity
+    * emission needs no join back to the scan (SURVEY.md §2.8 F7/F9).
     */
   def extract(transcripts: DataFrame): DataFrame = {
     val candidates = array(frames.map { case (kind, re) =>
       struct(lit(kind).as("kind"),
-        regexp_extract(col("text"), re, 1).as("surface"))
+        regexp_extract_all(col("text"), lit(re), lit(1)).as("ms"))
     }: _*)
     transcripts
-      .select(col("conv_id"), col("turn_idx"), col("text"),
+      .select(col("conv_id"), col("turn_idx"), col("text"), col("ts"),
         explode(candidates).as("m"))
-      .select(col("conv_id"), col("turn_idx"),
-        col("m.kind").as("kind"), col("m.surface").as("surface"), col("text"))
-      .filter(col("surface") =!= "")
+      .select(col("conv_id"), col("turn_idx"), col("m.kind").as("kind"),
+        posexplode(col("m.ms")).as(Seq("midx", "surface")),
+        col("text"), col("ts"))
   }
 }

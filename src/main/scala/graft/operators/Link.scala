@@ -6,11 +6,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Entity linking: mentions × broadcast authority dictionaries
-  * (SURVEY.md §2.3 J1/J2/J5). Every join here is an explicit
-  * `broadcast(dict)` hash join — dictionaries are authority snapshots,
-  * always small relative to the fact side; at 10^12 turns the fact side
-  * never shuffles for linking. Per-kind unmatched behavior mirrors the
-  * reference:
+  * (SURVEY.md §2.3 J1/J2/J5).
+  *
+  * SINGLE-PASS design: the four authority dictionaries (places, people,
+  * orgs, occupations) are unioned into ONE broadcast table keyed by
+  * (kind, key); the mention stream computes its per-kind normalized key in
+  * one projection and joins ONCE. One scan of the fact side, one broadcast
+  * hash join — at 10^12 turns the fact side never shuffles and is never
+  * re-read (the previous per-kind-branch design re-scanned the input 4×).
+  *
+  * Per-kind unmatched behavior mirrors the reference:
   *  - place: unmatched → dropped from emission, counted in metrics
   *    (`Utils/utilities.py:375-385` filters null place URIs;
   *    `Utils/place.py:146-156` logs UNMAPPED_OCCURENCES);
@@ -23,64 +28,67 @@ import org.apache.spark.sql.functions._
   */
 object Link {
 
+  /** All four dictionaries as one (kind, key, d_term, d_is_iri) table.
+    * place_left shares the place dictionary via the dkind mapping below. */
+  def unifiedDict(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Dicts
+    val places = Dicts.places(spark, dir).select(
+      lit("place").as("kind"), col("key"),
+      col("uri").as("d_term"), lit(true).as("d_is_iri"))
+    val people = Dicts.people(spark, dir).select(
+      lit("person").as("kind"), col("key"),
+      col("uri").as("d_term"), lit(true).as("d_is_iri"))
+    val orgs = Dicts.orgs(spark, dir).select(
+      lit("org").as("kind"), col("key"),
+      col("uri").as("d_term"), lit(true).as("d_is_iri"))
+    val occs = Dicts.occupations(spark).select(
+      lit("occupation").as("kind"), col("key"),
+      col("term").as("d_term"), col("is_iri").as("d_is_iri"))
+    places.unionAll(people).unionAll(orgs).unionAll(occs)
+  }
+
   /** Unified linked-mention schema:
-    * (conv_id, turn_idx, kind, surface, matched, obj_value, obj_is_iri,
-    *  obj_lang, obj_dtype). Rows whose object must be dropped (unmatched
-    * places) are KEPT here with matched=false and obj_value null — emission
-    * filters them, metrics counts them.
+    * (conv_id, turn_idx, kind, midx, surface, matched, obj_value,
+    *  obj_is_iri, obj_lang, obj_dtype [, text, ts ride-alongs]).
+    * Rows whose object must be dropped (unmatched places) are KEPT here
+    * with matched=false and obj_value null — emission filters them,
+    * metrics counts them.
     */
   def linkAll(spark: SparkSession, dir: String, mentions: DataFrame): DataFrame = {
-    import graft.sources.Dicts
+    val dict = broadcast(unifiedDict(spark, dir))
 
-    val placeDict = broadcast(Dicts.places(spark, dir))
-    val occDict   = broadcast(Dicts.occupations(spark))
-    val peopleDict = broadcast(
-      Dicts.people(spark, dir).select(col("key"), col("uri")))
-    val orgDict = broadcast(Dicts.orgs(spark, dir))
+    val isPlace = col("kind").isin("place", "place_left")
+    val keyed = mentions
+      // per-kind key normalization in ONE projection over the single scan
+      .withColumn("dkind",
+        when(col("kind") === "place_left", lit("place")).otherwise(col("kind")))
+      .withColumn("key",
+        when(isPlace, Fns.cleanTermSimple(col("surface")))
+          .when(col("kind") === "occupation", Fns.cleanTerm(col("surface")))
+          .otherwise(lower(col("surface"))))
 
-    val places = mentions.filter(col("kind").isin("place", "place_left"))
-      .withColumn("key", Fns.cleanTermSimple(col("surface")))
-      .join(placeDict, Seq("key"), "left")
-      .select(col("conv_id"), col("turn_idx"), col("kind"), col("surface"), col("text"),
-        col("uri").isNotNull.as("matched"),
-        col("uri").as("obj_value"),
-        col("uri").isNotNull.as("obj_is_iri"),
-        lit("").as("obj_lang"), lit("").as("obj_dtype"))
-
-    val persons = mentions.filter(col("kind") === "person")
-      .withColumn("key", lower(col("surface")))
-      .join(peopleDict, Seq("key"), "left")
-      .select(col("conv_id"), col("turn_idx"), col("kind"), col("surface"), col("text"),
-        col("uri").isNotNull.as("matched"),
-        coalesce(col("uri"), Fns.mintUri(Ns.kg + "temp/", col("surface")))
+    val matchedIri = coalesce(col("d_is_iri"), lit(false))
+    keyed
+      .join(dict.withColumnRenamed("kind", "dkind"), Seq("dkind", "key"), "left")
+      .select(col("conv_id"), col("turn_idx"), col("kind"), col("midx"),
+        col("surface"), col("text"), col("ts"),
+        col("d_term").isNotNull.as("matched"),
+        when(isPlace, col("d_term")) // null when unmatched → dropped at emit
+          .when(col("kind") === "person",
+            coalesce(col("d_term"), Fns.mintUri(Ns.kg + "temp/", col("surface"))))
+          .when(col("kind") === "org",
+            coalesce(col("d_term"),
+              concat(Fns.mintUri(Ns.org, col("surface")), lit("_ORG"))))
+          // occupation: IRI | ISO literal | fallback literal
+          .when(matchedIri, col("d_term"))
+          .when(col("d_term").isNotNull, concat(lit("ISO-3166-2:"), col("d_term")))
+          .otherwise(col("surface"))
           .as("obj_value"),
-        lit(true).as("obj_is_iri"),
-        lit("").as("obj_lang"), lit("").as("obj_dtype"))
-
-    val orgs = mentions.filter(col("kind") === "org")
-      .withColumn("key", lower(col("surface")))
-      .join(orgDict, Seq("key"), "left")
-      .select(col("conv_id"), col("turn_idx"), col("kind"), col("surface"), col("text"),
-        col("uri").isNotNull.as("matched"),
-        coalesce(col("uri"),
-          concat(Fns.mintUri(Ns.org, col("surface")), lit("_ORG")))
-          .as("obj_value"),
-        lit(true).as("obj_is_iri"),
-        lit("").as("obj_lang"), lit("").as("obj_dtype"))
-
-    val occs = mentions.filter(col("kind") === "occupation")
-      .withColumn("key", Fns.cleanTerm(col("surface")))
-      .join(occDict, Seq("key"), "left")
-      .select(col("conv_id"), col("turn_idx"), col("kind"), col("surface"), col("text"),
-        col("term").isNotNull.as("matched"),
-        when(col("is_iri"), col("term"))
-          .when(col("term").isNotNull, concat(lit("ISO-3166-2:"), col("term")))
-          .otherwise(col("surface")).as("obj_value"),
-        coalesce(col("is_iri"), lit(false)).as("obj_is_iri"),
+        when(isPlace, col("d_term").isNotNull)
+          .when(col("kind").isin("person", "org"), lit(true))
+          .otherwise(matchedIri).as("obj_is_iri"),
         lit("").as("obj_lang"),
-        when(coalesce(col("is_iri"), lit(false)), lit(""))
-          .otherwise(lit(Ns.xsdString)).as("obj_dtype"))
-
-    places.unionAll(persons).unionAll(orgs).unionAll(occs)
+        when(col("kind") === "occupation" && !matchedIri, lit(Ns.xsdString))
+          .otherwise(lit("")).as("obj_dtype"))
   }
 }

@@ -29,8 +29,10 @@ object MentionKernel {
     df.repartition(numPartitions,
       col("conv_id"), pmod(col("turn_idx"), lit(salt)))
 
-  /** transcripts → mentions(conv_id, turn_idx, kind, surface), same rows as
-    * Mentions.extract (modulo the ride-along text column). */
+  /** transcripts → mentions(conv_id, turn_idx, kind, midx, surface), same
+    * rows as Mentions.extract (modulo the ride-along text/ts columns). ALL
+    * matches per (turn, kind) are collected in document order — find_all
+    * parity with `Utils/utilities.py:351-360`. */
   def extract(spark: SparkSession, transcripts: DataFrame,
               numPartitions: Int = 0, salt: Int = 4): DataFrame = {
     import spark.implicits._
@@ -49,9 +51,10 @@ object MentionKernel {
           batch.iterator.flatMap { case (conv, turn, text) =>
             compiled.flatMap { case (kind, p) =>
               val m = p.matcher(text)
-              if (m.find() && m.group(1).nonEmpty)
-                Some(Mention(conv, turn, kind, m.group(1)))
-              else None
+              val out = scala.collection.mutable.ArrayBuffer.empty[Mention]
+              while (m.find())
+                out += Mention(conv, turn, kind, out.size, m.group(1))
+              out
             }
           }
         }

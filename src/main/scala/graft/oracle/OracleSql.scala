@@ -27,6 +27,17 @@ object OracleSql {
   def cleanSimple(e: String): String =
     s"replace(trim(replace(lower($e),'-',' ')),' ','')"
 
+  /** Snippet (F6/F7) closed form, valid for the synthetic corpus shape
+    * (one or two '.'-terminated sentences, single-spaced): the general
+    * sentence-budget fold (Fns.snippet = limitToFullSentences + the
+    * reference's replace chain) reduces to "drop the second sentence iff
+    * the first one's space count reaches the budget". The Spark side runs
+    * the general algorithm; this independent derivation pins it. */
+  def snipSql(t: String): String = {
+    val s1 = s"substr($t, 1, strpos($t, '.'))"
+    s"(CASE WHEN length($t) > strpos($t, '.') AND len(string_split($s1, ' ')) - 1 >= ${graft.functions.Fns.SnippetMaxWords} THEN $s1 ELSE $t END)"
+  }
+
   /** clean_term stemmer variant (culturalForm.py:513-521) as nested CASEs.
     * Stages: simple-clean → drop trailing s → drop ism/ist/ing → drop er. */
   def stem(e: String): String = {
@@ -50,19 +61,27 @@ tr AS (
            || ' working as ' || o.w
            || CASE WHEN e.event_id % 5 = 0 THEN ' at Supplier#' || lpad(CAST((e.event_id * 3) % 13 AS VARCHAR), 9, '0') ELSE '' END
            || CASE WHEN e.event_id % 7 = 0 THEN ' leaving Nation_' || CAST((e.event_id + 4) % 31 AS VARCHAR) ELSE '' END
-           || '.' AS text,
+           || CASE WHEN e.event_id % 11 = 0 THEN ' and also met Customer#' || lpad(CAST((e.event_id * 13) % 200 AS VARCHAR), 9, '0') ELSE '' END
+           || CASE WHEN e.event_id % 9 = 0 THEN ' then visited Nation_' || CAST((e.event_id + 17) % 31 AS VARCHAR) ELSE '' END
+           || CASE WHEN e.event_id % 10 = 0 THEN ' later working as ' || o2.w ELSE '' END
+           || '.'
+           || CASE WHEN e.event_id % 6 = 0 THEN '${SynthTranscripts.fillerSentence}' ELSE '' END AS text,
          CASE WHEN e.event_type = 'error' THEN 'tool_' || CAST(e.event_id % 5 AS VARCHAR) ELSE '' END AS tool,
          e.ts AS ts
   FROM events e JOIN occ o ON o.i = CAST(e.event_id % 12 AS INT)
+               JOIN occ o2 ON o2.i = CAST((e.event_id + 5) % 12 AS INT)
 ),
 men AS (
-  SELECT conv_id, turn_idx, kind, surface, text FROM (
-    SELECT conv_id, turn_idx, 'place' AS kind, regexp_extract(text, 'visited (Nation_[0-9]+)', 1) AS surface, text FROM tr
-    UNION ALL SELECT conv_id, turn_idx, 'place_left', regexp_extract(text, 'leaving (Nation_[0-9]+)', 1), text FROM tr
-    UNION ALL SELECT conv_id, turn_idx, 'person', regexp_extract(text, 'met (Customer#[0-9]{9})', 1), text FROM tr
-    UNION ALL SELECT conv_id, turn_idx, 'org', regexp_extract(text, 'at (Supplier#[0-9]{9})', 1), text FROM tr
-    UNION ALL SELECT conv_id, turn_idx, 'occupation', regexp_extract(text, 'working as ([A-Za-z-]+)', 1), text FROM tr
-  ) WHERE surface IS NOT NULL AND surface <> ''
+  -- find_all parity: ALL regex matches per (turn, kind), midx = match index
+  SELECT conv_id, turn_idx, kind, CAST(i - 1 AS INT) AS midx, ms[i] AS surface, text, ts FROM (
+    SELECT conv_id, turn_idx, kind, ms, unnest(range(1, len(ms) + 1)) AS i, text, ts FROM (
+      SELECT conv_id, turn_idx, 'place' AS kind, regexp_extract_all(text, 'visited (Nation_[0-9]+)', 1) AS ms, text, ts FROM tr
+      UNION ALL SELECT conv_id, turn_idx, 'place_left', regexp_extract_all(text, 'leaving (Nation_[0-9]+)', 1), text, ts FROM tr
+      UNION ALL SELECT conv_id, turn_idx, 'person', regexp_extract_all(text, 'met (Customer#[0-9]{9})', 1), text, ts FROM tr
+      UNION ALL SELECT conv_id, turn_idx, 'org', regexp_extract_all(text, 'at (Supplier#[0-9]{9})', 1), text, ts FROM tr
+      UNION ALL SELECT conv_id, turn_idx, 'occupation', regexp_extract_all(text, 'working as ([A-Za-z-]+)', 1), text, ts FROM tr
+    )
+  )
 ),
 place_dict AS (
   SELECT ${cleanSimple("n_name")} AS key, '${Ns.place}' || CAST(n_nationkey AS VARCHAR) AS uri FROM nation
@@ -82,28 +101,28 @@ occ_dict AS (
   FROM occ_dict_raw GROUP BY 1
 ),
 linked AS (
-  SELECT m.conv_id, m.turn_idx, m.kind, m.surface, m.text,
+  SELECT m.conv_id, m.turn_idx, m.kind, m.midx, m.surface, m.text, m.ts,
          d.uri IS NOT NULL AS matched,
          d.uri AS obj_value, d.uri IS NOT NULL AS obj_is_iri,
          '' AS obj_lang, '' AS obj_dtype
   FROM men m LEFT JOIN place_dict d ON ${cleanSimple("m.surface")} = d.key
   WHERE m.kind IN ('place','place_left')
   UNION ALL
-  SELECT m.conv_id, m.turn_idx, m.kind, m.surface, m.text,
+  SELECT m.conv_id, m.turn_idx, m.kind, m.midx, m.surface, m.text, m.ts,
          d.uri IS NOT NULL,
          COALESCE(d.uri, '${Ns.kg}temp/' || replace(m.surface, '#', '')),
          TRUE, '', ''
   FROM men m LEFT JOIN people_dict d ON lower(m.surface) = d.key
   WHERE m.kind = 'person'
   UNION ALL
-  SELECT m.conv_id, m.turn_idx, m.kind, m.surface, m.text,
+  SELECT m.conv_id, m.turn_idx, m.kind, m.midx, m.surface, m.text, m.ts,
          d.uri IS NOT NULL,
          COALESCE(d.uri, '${Ns.org}' || replace(m.surface, '#', '') || '_ORG'),
          TRUE, '', ''
   FROM men m LEFT JOIN org_dict d ON lower(m.surface) = d.key
   WHERE m.kind = 'org'
   UNION ALL
-  SELECT m.conv_id, m.turn_idx, m.kind, m.surface, m.text,
+  SELECT m.conv_id, m.turn_idx, m.kind, m.midx, m.surface, m.text, m.ts,
          d.term IS NOT NULL,
          CASE WHEN d.term LIKE 'http%' THEN d.term
               WHEN d.term IS NOT NULL THEN 'ISO-3166-2:' || d.term
@@ -118,7 +137,7 @@ emitting AS (
   SELECT * FROM linked WHERE kind NOT IN ('place','place_left') OR matched
 ),
 ctx AS (
-  SELECT *, row_number() OVER (PARTITION BY conv_id, kind ORDER BY turn_idx) AS ordinal
+  SELECT *, row_number() OVER (PARTITION BY conv_id, kind ORDER BY turn_idx, midx) AS ordinal
   FROM emitting
 ),
 all_triples_raw AS (
@@ -148,7 +167,7 @@ all_triples_raw AS (
          FALSE, '', '' FROM ctx
   UNION ALL
   SELECT '${Ns.ctx}' || conv_id || '_' || kind || 'Context_' || CAST(ordinal AS VARCHAR),
-         '${Ns.hasSnippet}', text, FALSE, 'en', '' FROM ctx
+         '${Ns.hasSnippet}', ${snipSql("text")}, FALSE, 'en', '' FROM ctx
   UNION ALL
   SELECT d.uri, '${Ns.owlSameAs}', d.viaf_uri, TRUE, '', ''
   FROM (SELECT DISTINCT obj_value FROM linked WHERE kind='person' AND matched) p
@@ -184,14 +203,14 @@ canon AS (SELECT n AS node, min(m) AS canon FROM reach GROUP BY n)
     "kg_transcripts" ->
       (BASE + "SELECT conv_id, turn_idx, role, text, tool, ts FROM tr"),
     "kg_mentions" ->
-      (BASE + "SELECT conv_id, turn_idx, kind, surface FROM men"),
+      (BASE + "SELECT conv_id, turn_idx, kind, midx, surface FROM men"),
     "kg_mentions_kernel" ->
-      (BASE + "SELECT conv_id, turn_idx, kind, surface FROM men"),
+      (BASE + "SELECT conv_id, turn_idx, kind, midx, surface FROM men"),
     "kg_linked" ->
-      (BASE + """SELECT conv_id, turn_idx, kind, surface, matched,
+      (BASE + """SELECT conv_id, turn_idx, kind, midx, surface, matched,
                  obj_value, obj_is_iri, obj_lang, obj_dtype FROM linked"""),
     "kg_ordinals" ->
-      (BASE + s"""SELECT conv_id, turn_idx, kind, ordinal,
+      (BASE + s"""SELECT conv_id, turn_idx, kind, midx, ordinal,
                  '${Ns.ctx}' || conv_id || '_' || kind || 'Context_' || CAST(ordinal AS VARCHAR) AS ctx_uri
                  FROM ctx"""),
     "kg_triples" ->
@@ -227,7 +246,7 @@ FROM per"""),
     '') AS heading
 FROM tr"""),
     "kg_first_person" ->
-      (BASE + """SELECT conv_id, min_by(obj_value, turn_idx) AS first_person
+      (BASE + """SELECT conv_id, min_by(obj_value, turn_idx * 100 + midx) AS first_person
 FROM linked WHERE kind = 'person' GROUP BY conv_id"""),
     "kg_dates" ->
       (BASE + s""", lex AS (
@@ -550,7 +569,7 @@ FROM events GROUP BY 1, 2""")
     * the check. */
   private val streamQueries: Map[String, String] = Map(
     "stream_mentions" ->
-      (BASE + "SELECT conv_id, turn_idx, kind, surface FROM men"),
+      (BASE + "SELECT conv_id, turn_idx, kind, midx, surface FROM men"),
     "stream_hourly" -> """
 SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents

@@ -40,12 +40,25 @@ object SynthTranscripts {
   def apply(spark: SparkSession, dir: String): DataFrame =
     project(Tables.events(spark, dir))
 
+  /** Filler second sentence (no mention frames inside) — multi-sentence
+    * turns exercise the snippet sentence budget (F6/F7): turns whose first
+    * sentence exceeds the word budget get the filler trimmed off. */
+  val fillerSentence: String =
+    " We discussed the quarterly matters at some length and agreed to continue shortly."
+
   /** The pure projection events → transcripts; shared by the batch reader
-    * above and the Structured Streaming source (graft.streaming). */
+    * above and the Structured Streaming source (graft.streaming).
+    *
+    * Multi-mention clauses (find_all parity, `Utils/utilities.py:351-360`:
+    * the reference collects ALL tagged mentions per paragraph, so some turns
+    * must carry 2+ mentions of one kind): a second person on eid%11==0, a
+    * second place on eid%9==0, a second occupation on eid%10==0. */
   def project(e: DataFrame): DataFrame = {
     val eid = col("event_id")
     val occ = element_at(
       array(occWords.map(lit): _*), (eid % 12).cast("int") + 1)
+    val occ2 = element_at(
+      array(occWords.map(lit): _*), ((eid + 5) % 12).cast("int") + 1)
     val text = concat(
       lit("I visited Nation_"), (eid % 31).cast("string"),
       lit(" and met Customer#"), lpad(((eid * 7) % 200).cast("string"), 9, "0"),
@@ -56,7 +69,17 @@ object SynthTranscripts {
       when(eid % 7 === 0,
         concat(lit(" leaving Nation_"), ((eid + 4) % 31).cast("string"))
       ).otherwise(lit("")),
-      lit("."))
+      when(eid % 11 === 0,
+        concat(lit(" and also met Customer#"), lpad(((eid * 13) % 200).cast("string"), 9, "0"))
+      ).otherwise(lit("")),
+      when(eid % 9 === 0,
+        concat(lit(" then visited Nation_"), ((eid + 17) % 31).cast("string"))
+      ).otherwise(lit("")),
+      when(eid % 10 === 0,
+        concat(lit(" later working as "), occ2)
+      ).otherwise(lit("")),
+      lit("."),
+      when(eid % 6 === 0, lit(fillerSentence)).otherwise(lit("")))
     val role = when(col("event_type") === "purchase", "user")
       .when(col("event_type") === "click", "assistant")
       .when(col("event_type") === "view", "assistant")

@@ -35,7 +35,7 @@ object StreamOps {
   /** Streaming mention extraction (stateless map — no watermark needed). */
   def mentionStream(spark: SparkSession, dir: String): DataFrame =
     Mentions.extract(SynthTranscripts.project(eventStream(spark, dir)))
-      .select("conv_id", "turn_idx", "kind", "surface")
+      .select("conv_id", "turn_idx", "kind", "midx", "surface")
 
   /** Streaming tumbling-window aggregation (1h windows on ts, per type),
     * the streaming twin of operators.Sessions.hourlyAgg. */

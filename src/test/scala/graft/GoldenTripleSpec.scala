@@ -20,7 +20,11 @@ class GoldenTripleSpec extends SparkSpec {
     Seq(
       (conv, 0, "user", "I visited Nation_3 and met Customer#000000007 working as novelist.", "", Timestamp.valueOf("2024-01-01 10:00:00")),
       (conv, 1, "user", "I visited Nation_28 and met Customer#000000199 working as zorbulator leaving Nation_3.", "", Timestamp.valueOf("2024-01-01 10:01:00")),
-      (conv, 2, "user", "I met Customer#000000010 working as Ontarian leaving Nation_4.", "", Timestamp.valueOf("2024-01-01 10:02:00"))
+      (conv, 2, "user", "I met Customer#000000010 working as Ontarian leaving Nation_4.", "", Timestamp.valueOf("2024-01-01 10:02:00")),
+      // multi-mention turn (find_all parity): 2 places, 2 persons, 2 occupations
+      (conv, 3, "user", t3, "", Timestamp.valueOf("2024-01-01 10:03:00")),
+      // two-sentence turn whose first sentence exceeds the snippet budget
+      (conv, 4, "user", t4, "", Timestamp.valueOf("2024-01-01 10:04:00"))
     ).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
   }
 
@@ -40,13 +44,22 @@ class GoldenTripleSpec extends SparkSpec {
   private val t0 = "I visited Nation_3 and met Customer#000000007 working as novelist."
   private val t1 = "I visited Nation_28 and met Customer#000000199 working as zorbulator leaving Nation_3."
   private val t2 = "I met Customer#000000010 working as Ontarian leaving Nation_4."
+  private val t3 = "I visited Nation_3 and met Customer#000000007 working as singer" +
+    " then visited Nation_5 and also met Customer#000000010 later working as weaver."
+  private val t4 = "I met Customer#000000199 working as floozle one two three four" +
+    " five six seven eight. We discussed the quarterly matters."
+  // t4's first sentence has 14 words (13 spaces ≥ budget 12) → the snippet
+  // drops the filler sentence (F6/F7, utilities.py:266-281 + context.py:277)
+  private val t4snip = "I met Customer#000000199 working as floozle one two three four" +
+    " five six seven eight."
 
   private val golden: Set[Triple] = (Seq(
     // skeleton (biography.py:198-226 analog)
     iri(cu, Ns.rdfType, Ns.tPerson),
     litLang(cu, Ns.rdfsLabel, conv),
-    // mention facts
+    // mention facts (set-dedup'd: t3 re-mentions person/7, person/10, place/3)
     iri(cu, Ns.mentionsPlace, Ns.place + "3"),            // Nation_28 unmatched → dropped
+    iri(cu, Ns.mentionsPlace, Ns.place + "5"),            // t3 "then visited"
     iri(cu, Ns.leftPlace, Ns.place + "3"),
     iri(cu, Ns.leftPlace, Ns.place + "4"),
     iri(cu, Ns.knowsPerson, Ns.person + "7"),
@@ -55,22 +68,34 @@ class GoldenTripleSpec extends SparkSpec {
     iri(cu, Ns.hasOccupation, Ns.occ + "novelist"),
     litStr(cu, Ns.hasOccupation, "zorbulator"),           // fallback literal
     litStr(cu, Ns.hasOccupation, "ISO-3166-2:CA-ON"),     // non-http dict term
-    // W3: Nation_4 never visited → spatialRel; Nation_3 visited → none
+    iri(cu, Ns.hasOccupation, Ns.occ + "singer"),
+    iri(cu, Ns.hasOccupation, Ns.occ + "weaver"),
+    litStr(cu, Ns.hasOccupation, "floozle"),
+    // W3: Nation_3 (left at t1) is visited at t0/t3 → anti-joined out;
+    // Nation_4 (left at t2) is never visited → spatialRelationship survives
     iri(cu, Ns.spatialRel, Ns.place + "4"),
     // sameAs: viaf = custkey DIV 3; chain person_k→person_{k-1} iff k%5≠0
     iri(Ns.person + "7", Ns.owlSameAs, Ns.viaf + "2"),
     iri(Ns.person + "7", Ns.owlSameAs, Ns.person + "6"),
     iri(Ns.person + "10", Ns.owlSameAs, Ns.viaf + "3"))
-    // contexts with per-(conv, kind) ordinals
+    // contexts with per-(conv, kind) ordinals, document order (turn, midx)
     ++ ctxTriples("place", 1, 0, t0)
+    ++ ctxTriples("place", 2, 3, t3)       // t3 midx 0 (Nation_3)
+    ++ ctxTriples("place", 3, 3, t3)       // t3 midx 1 (Nation_5)
     ++ ctxTriples("place_left", 1, 1, t1)
     ++ ctxTriples("place_left", 2, 2, t2)
     ++ ctxTriples("person", 1, 0, t0)
     ++ ctxTriples("person", 2, 1, t1)
     ++ ctxTriples("person", 3, 2, t2)
+    ++ ctxTriples("person", 4, 3, t3)      // t3 midx 0 (Customer#7)
+    ++ ctxTriples("person", 5, 3, t3)      // t3 midx 1 (Customer#10)
+    ++ ctxTriples("person", 6, 4, t4snip)
     ++ ctxTriples("occupation", 1, 0, t0)
     ++ ctxTriples("occupation", 2, 1, t1)
-    ++ ctxTriples("occupation", 3, 2, t2)).toSet
+    ++ ctxTriples("occupation", 3, 2, t2)
+    ++ ctxTriples("occupation", 4, 3, t3)  // singer
+    ++ ctxTriples("occupation", 5, 3, t3)  // weaver
+    ++ ctxTriples("occupation", 6, 4, t4snip)).toSet
 
   test("triple emission matches the hand-derived golden set exactly (P/R = 1.0)") {
     import spark.implicits._
@@ -81,7 +106,7 @@ class GoldenTripleSpec extends SparkSpec {
     val extra = got -- golden
     assert(missing.isEmpty, s"missing triples: ${missing.mkString("\n")}")
     assert(extra.isEmpty, s"unexpected triples: ${extra.mkString("\n")}")
-    assert(got.size == 42)
+    assert(got.size == 70)
   }
 
   test("canonicalization rewrites identities to the component min label") {

@@ -111,15 +111,16 @@ class TextInvariantSpec extends SparkSpec {
   test("ordinals are stable under repartitioning (never partition-order dependent)") {
     val l = Pipeline.linked(spark, sfDir)
     val base = Pipeline.ordinals(spark, sfDir)
-      .select("conv_id", "kind", "turn_idx", "ordinal")
-      .as[(String, String, Int, Int)].collect().toSet
+      .select("conv_id", "kind", "turn_idx", "midx", "ordinal")
+      .as[(String, String, Int, Int, Int)].collect().toSet
     val emitting = l.repartition(17)
       .filter(!col("kind").isin("place", "place_left") || col("matched"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("conv_id"), col("kind")).orderBy(col("turn_idx"))
+      .partitionBy(col("conv_id"), col("kind"))
+      .orderBy(col("turn_idx"), col("midx"))
     val re = emitting.select(col("conv_id"), col("kind"), col("turn_idx"),
-      row_number().over(w).as("ordinal"))
-      .as[(String, String, Int, Int)].collect().toSet
+      col("midx"), row_number().over(w).as("ordinal"))
+      .as[(String, String, Int, Int, Int)].collect().toSet
     assert(base == re)
   }
 

@@ -7,12 +7,19 @@ package graft
   */
 class PlanQualitySpec extends SparkSpec {
 
-  test("all four dictionary links plan as broadcast hash joins, never SMJ") {
+  test("linking is ONE broadcast hash join over ONE scan of the input") {
+    // other suites may have persisted the same linked plan — a cached
+    // InMemoryTableScan would hide the join/scan shape under test
+    spark.catalog.clearCache()
     val plan = Pipeline.linked(spark, sfDir).queryExecution.executedPlan.toString
     val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
-    assert(broadcasts >= 4, s"expected ≥4 broadcast joins, got $broadcasts")
+    assert(broadcasts == 1,
+      s"single-pass linking = exactly 1 broadcast join, got $broadcasts")
     assert(!plan.contains("SortMergeJoin"),
       "dictionary linking must not shuffle the fact side")
+    val eventScans = "events\\.parquet".r.findAllIn(plan).size
+    assert(eventScans == 1,
+      s"the fact side must be scanned once, found $eventScans event scans")
   }
 
   test("extraction scan is column-pruned (unused event columns not read)") {

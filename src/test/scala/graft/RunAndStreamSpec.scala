@@ -44,7 +44,7 @@ class StreamParitySpec extends SparkSpec {
       streaming.StreamOps.mentionStream(spark, sfDir), "sp_mentions", "append")
       .collect().toSet
     val want = Pipeline.mentions(spark, sfDir)
-      .select("conv_id", "turn_idx", "kind", "surface").collect().toSet
+      .select("conv_id", "turn_idx", "kind", "midx", "surface").collect().toSet
     assert(got == want)
     assert(got.nonEmpty)
   }
