@@ -40,7 +40,9 @@ object Pipeline {
     val facts = Emit.factTriples(s, d, transcripts(s, d), l)
       .persist(storage.StorageLevel.MEMORY_AND_DISK)
     val canon = SameAs.closure(SameAs.edgesOf(facts))
-    SameAs.canonicalize(facts, canon).unionAll(Emit.contextTriples(l))
+    SameAs.canonicalize(facts, canon)
+      .unionAll(Emit.contextTriples(l))
+      .unionAll(Emit.activityTriples(l)) // date/cert objects — canon-inert
   }
 
   /** Context ordinals (W1/A5) surfaced directly for verification. Ordering

@@ -25,6 +25,10 @@ object SparkEntry {
     "kg_ordinals" -> ((s, d) => Pipeline.ordinals(s, d)),
     // full emission + union-distinct (A1)
     "kg_triples" -> ((s, d) => Pipeline.triples(s, d)),
+    // Activity/Time-Span nodes with typed partial-date literals (F9-F12,
+    // activity.py:370-526 / event.py:90-110 wired into emission)
+    "kg_activities" -> ((s, d) =>
+      operators.Emit.activityTriples(Pipeline.linked(s, d))),
     // §2.3 J7 sameAs closure (min-label propagation)
     "kg_sameas_clusters" -> ((s, d) => Pipeline.sameAsClusters(s, d)),
     // closure applied: canonical triple table
@@ -121,6 +125,15 @@ object SparkEntry {
       operators.Extras.sampleConvs(Pipeline.transcripts(s, d))),
     // §2.1 K2 N-Triples text export (pure projection)
     "kg_nt_lines" -> ((s, d) => io.NTriples.export(Pipeline.triples(s, d))),
+    // §2.1 K2 Turtle export: @prefix table + grouped-by-subject statements
+    "kg_ttl_lines" -> ((s, d) => io.Turtle.export(Pipeline.triples(s, d))),
+    // §3.3 modsBib two-phase bibliography: fact×fact shuffle join
+    // (genre map aggregated from lineitem ⋈ orders emission)
+    "kg_works" -> ((s, d) => operators.Works.workTriples(
+      sources.Tables.orders(s, d), sources.Tables.lineitem(s, d))),
+    // §2.3 J11 family sex-consistency placeholder (writers_sex.csv analog)
+    "kg_family_placeholder" -> ((s, d) =>
+      operators.Extras.familyPlaceholder(s, d, Pipeline.linked(s, d))),
     // direct n-gram Jaccard on the known near-dup pairs (no LSH)
     "doc_jaccard_pairs" -> ((s, d) => {
       val c = operators.Dedup.corpus(sources.Tables.documents(s, d))

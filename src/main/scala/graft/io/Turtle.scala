@@ -1,0 +1,90 @@
+package graft.io
+
+import graft.model.Ns
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Turtle text export (K2 — the reference's DEFAULT serialization format,
+  * `Utils/utilities.py:497-509` + format list at `utilities.py:807-808`):
+  * an @prefix header block plus one grouped-by-subject statement line per
+  * subject (`s p1 o1 ; p2 o2 .`), predicates sorted for determinism.
+  *
+  * Prefix application: longest-namespace match; a local name containing '/'
+  * is not prefixable in Turtle, so such IRIs fall back to <...> form. The
+  * prefix table is shared with the DuckDB oracle (config data, like Ns).
+  *
+  * Scale: one groupBy(subject) shuffle — the only way to produce grouped
+  * statements; everything else is codegen'd string projection.
+  */
+object Turtle {
+
+  /** (prefix, namespace) — one entry per minted sub-namespace so local
+    * names never contain '/'. */
+  val prefixes: Seq[(String, String)] = Seq(
+    "conv"   -> Ns.conv,
+    "ctx"    -> Ns.ctx,
+    "act"    -> Ns.act,
+    "place"  -> Ns.place,
+    "person" -> Ns.person,
+    "org"    -> Ns.org,
+    "occ"    -> Ns.occ,
+    "work"   -> Ns.work,
+    "genre"  -> Ns.genre,
+    "pred"   -> Ns.pred,
+    "typ"    -> (Ns.kg + "type/"),
+    "temp"   -> (Ns.kg + "temp/"),
+    "kg"     -> Ns.kg,
+    "viaf"   -> Ns.viaf,
+    "rdf"    -> "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs"   -> "http://www.w3.org/2000/01/rdf-schema#",
+    "owl"    -> "http://www.w3.org/2002/07/owl#",
+    "xsd"    -> "http://www.w3.org/2001/XMLSchema#")
+
+  /** Longest-first match order (kg is a prefix of its sub-namespaces). */
+  private val byLength = prefixes.sortBy { case (_, ns) => -ns.length }
+
+  val headerLines: Seq[String] =
+    prefixes.map { case (p, ns) => s"@prefix $p: <$ns> ." }
+
+  /** IRI → prefixed name, or <iri> when no prefix fits / '/' in local name. */
+  def term(c: Column): Column =
+    byLength.foldRight(concat(lit("<"), c, lit(">")): Column) {
+      case ((p, ns), els) =>
+        val rest = c.substr(lit(ns.length + 1), length(c))
+        when(c.startsWith(ns) && !rest.contains("/"),
+          concat(lit(p + ":"), rest)).otherwise(els)
+    }
+
+  private def escapeLit(c: Column) =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      c, "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n"),
+      "\r", "\\\\r"), "\t", "\\\\t")
+
+  /** The same CASE chain as `term`, in DuckDB SQL (for the oracle). */
+  def termSql(e: String): String =
+    byLength.foldRight(s"('<' || $e || '>')") { case ((p, ns), els) =>
+      val rest = s"substr($e, ${ns.length + 1})"
+      s"(CASE WHEN starts_with($e, '$ns') AND strpos($rest, '/') = 0 " +
+        s"THEN '$p:' || $rest ELSE $els END)"
+    }
+
+  /** Triple table → one-column ("line") Turtle text: header lines ∪ one
+    * sorted grouped statement per subject. */
+  def export(triples: DataFrame): DataFrame = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+    val obj = when(col("obj_is_iri"), term(col("obj_value")))
+      .when(col("obj_lang") =!= "",
+        concat(lit("\""), escapeLit(col("obj_value")), lit("\"@"), col("obj_lang")))
+      .when(col("obj_dtype") =!= "",
+        concat(lit("\""), escapeLit(col("obj_value")), lit("\"^^"), term(col("obj_dtype"))))
+      .otherwise(concat(lit("\""), escapeLit(col("obj_value")), lit("\"")))
+    val statements = triples
+      .select(term(col("subj")).as("s"),
+        concat(term(col("pred")), lit(" "), obj).as("po"))
+      .groupBy("s")
+      .agg(array_join(array_sort(collect_list(col("po"))), " ; ").as("pos"))
+      .select(concat(col("s"), lit(" "), col("pos"), lit(" .")).as("line"))
+    headerLines.toDF("line").unionAll(statements)
+  }
+}

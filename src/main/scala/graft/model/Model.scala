@@ -59,6 +59,8 @@ object Ns {
   val occ      = kg + "occupation/"
   val viaf     = "http://viaf.graft/"
   val pred     = kg + "pred/"
+  val work     = kg + "work/"
+  val genre    = kg + "genre/"
 
   // Predicates (fixed vocabulary, analog of cwrc/crm/oa terms).
   val rdfType        = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
@@ -74,6 +76,19 @@ object Ns {
   val hasOccupation  = pred + "hasOccupation"
   val tPerson        = kg + "type/Conversation"
   val tContext       = kg + "type/Context"
+  // Activity/time-span vocabulary (analog of crm:E7_Activity /
+  // E52_Time-Span emission, `Utils/activity.py:370-526`, `event.py:90-110`)
+  val tActivity        = kg + "type/Activity"
+  val tTimeSpan        = kg + "type/TimeSpan"
+  val hasTimeSpan      = pred + "hasTimeSpan"        // crm:P4_has_time-span
+  val atSomeTimeWithin = pred + "atSomeTimeWithin"   // crm:P82
+  val beginOfBegin     = pred + "beginOfTheBegin"    // crm:P82a
+  val endOfEnd         = pred + "endOfTheEnd"        // crm:P82b
+  val hasCertainty     = pred + "hasCertainty"
+  // Bibliography two-phase shape (Mods/modsBib.py)
+  val tWork      = kg + "type/Work"
+  val hasGenre   = pred + "hasGenre"
+  val authoredBy = pred + "authoredBy"
 
   val xsdString   = "http://www.w3.org/2001/XMLSchema#string"
   val xsdDate     = "http://www.w3.org/2001/XMLSchema#date"

@@ -19,31 +19,43 @@ import org.apache.spark.sql.functions._
   * in string space so nothing ever normalizes the partial forms.
   */
 object Dates {
+  import org.apache.spark.sql.Column
 
-  /** transcripts+event arithmetic → (conv_id, turn_idx, lexical, dtype,
-    * interval_start, interval_end). Precision cycles with
-    * (turn_idx % 4): 0→year, 1→month, 2→day, 3→datetime. */
-  def dateLiterals(transcripts: DataFrame): DataFrame = {
-    val prec = col("turn_idx") % 4
-    val lex = when(prec === 0, date_format(col("ts"), "yyyy"))
-      .when(prec === 1, date_format(col("ts"), "yyyy-MM"))
-      .when(prec === 2, date_format(col("ts"), "yyyy-MM-dd"))
-      .otherwise(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
-    val start = when(prec === 0, concat(lex, lit("-01-01 00:00:00")))
-      .when(prec === 1, concat(lex, lit("-01 00:00:00")))
-      .when(prec === 2, concat(lex, lit(" 00:00:00")))
+  /** Partial-precision lexical form of a timestamp; precision cycles with
+    * (turn_idx % 4): 0→year, 1→month, 2→day, 3→datetime — the transcript
+    * analog of DATE/DATERANGE attribute precision. */
+  def lexicalOf(ts: Column, turnIdx: Column): Column = {
+    val prec = turnIdx % 4
+    when(prec === 0, date_format(ts, "yyyy"))
+      .when(prec === 1, date_format(ts, "yyyy-MM"))
+      .when(prec === 2, date_format(ts, "yyyy-MM-dd"))
+      .otherwise(date_format(ts, "yyyy-MM-dd HH:mm:ss"))
+  }
+
+  /** First second covered by a partial lexical form (length-dispatched). */
+  def intervalStart(lex: Column): Column =
+    when(length(lex) === 4, concat(lex, lit("-01-01 00:00:00")))
+      .when(length(lex) === 7, concat(lex, lit("-01 00:00:00")))
+      .when(length(lex) === 10, concat(lex, lit(" 00:00:00")))
       .otherwise(lex)
-    // end of interval: last second covered by the partial form
-    val end = when(prec === 0, concat(lex, lit("-12-31 23:59:59")))
-      .when(prec === 1,
+
+  /** Last second covered by a partial lexical form. */
+  def intervalEnd(lex: Column): Column =
+    when(length(lex) === 4, concat(lex, lit("-12-31 23:59:59")))
+      .when(length(lex) === 7,
         concat(date_format(last_day(to_date(concat(lex, lit("-01")))), "yyyy-MM-dd"),
           lit(" 23:59:59")))
-      .when(prec === 2, concat(lex, lit(" 23:59:59")))
+      .when(length(lex) === 10, concat(lex, lit(" 23:59:59")))
       .otherwise(lex)
+
+  /** transcripts+event arithmetic → (conv_id, turn_idx, lexical, dtype,
+    * interval_start, interval_end). */
+  def dateLiterals(transcripts: DataFrame): DataFrame = {
+    val lex = lexicalOf(col("ts"), col("turn_idx"))
     val fd = Fns.formatDate(lex)
     transcripts.select(col("conv_id"), col("turn_idx"),
       fd.getField("lexical").as("lexical"),
       fd.getField("dtype").as("dtype"),
-      start.as("interval_start"), end.as("interval_end"))
+      intervalStart(lex).as("interval_start"), intervalEnd(lex).as("interval_end"))
   }
 }

@@ -86,16 +86,23 @@ object Emit {
     * carrying type, target selector (F14: deterministic from keys, no DOM),
     * and a snippet literal (F5/F7).
     */
-  def contextTriples(linked: DataFrame): DataFrame = {
+  /** Emitting mentions with (conv, kind) ordinals + minted context URIs —
+    * shared base of context AND activity emission (same counters, same
+    * document order). */
+  private def ctxFrame(linked: DataFrame): DataFrame = {
     val emitting = linked.filter(
       !col("kind").isin("place", "place_left") || col("matched"))
     val w = Window.partitionBy(col("conv_id"), col("kind"))
       .orderBy(col("turn_idx"), col("midx"))
-    val ctx = emitting
+    emitting
       .withColumn("ordinal", row_number().over(w))
       .withColumn("ctx_uri",
         concat(lit(Ns.ctx), col("conv_id"), lit("_"), col("kind"),
           lit("Context_"), col("ordinal").cast("string")))
+  }
+
+  def contextTriples(linked: DataFrame): DataFrame = {
+    val ctx = ctxFrame(linked)
     val typed = ctx.select(col("ctx_uri").as("subj"),
       lit(Ns.rdfType).as("pred"), lit(Ns.tContext).as("obj_value"),
       lit(true).as("obj_is_iri"), lit("").as("obj_lang"),
@@ -112,6 +119,59 @@ object Emit {
       lit(false).as("obj_is_iri"), lit("en").as("obj_lang"),
       lit("").as("obj_dtype"))
     typed.unionAll(target).unionAll(snip)
+  }
+
+  /** Kinds that carry an event character → Activity nodes (the reference's
+    * location/occupation extractor families emit crm Activities; person/org
+    * mentions stay direct relations, `Utils/activity.py:370-526`). */
+  val activityKinds: Seq[String] = Seq("place", "place_left", "occupation")
+
+  /** Activity + time-span emission with TYPED, never-normalized partial
+    * date literals (`Utils/activity.py:370-526`, `Utils/event.py:90-110`):
+    * per emitting mention of an activity kind, an Activity node linked to a
+    * Time-Span node carrying
+    *  - atSomeTimeWithin: the partial lexical, datatype by LEXICAL LENGTH
+    *    (F10 — 1891 stays gYear, never becomes 1891-01-01),
+    *  - beginOfTheBegin/endOfTheEnd: the interval endpoints (F9/F11),
+    *  - hasCertainty: CERT/BY/AFTER/CIRCA/ROUGHLYDATED → high/medium/low
+    *    (F12, `Utils/activity.py:217-228`).
+    * All URIs are functions of (conv, kind, ordinal) — same counters as the
+    * contexts; all 8 triples are unique by construction (routed around the
+    * fact distinct, like contexts). */
+  def activityTriples(linked: DataFrame): DataFrame = {
+    val base = ctxFrame(linked).filter(col("kind").isin(activityKinds: _*))
+    val lex = Dates.lexicalOf(col("ts"), col("turn_idx"))
+    val certCode = element_at(
+      array(Seq("CERT", "BY", "AFTER", "CIRCA", "ROUGHLYDATED").map(lit): _*),
+      (col("turn_idx") % 5).cast("int") + 1)
+    val a = base
+      .withColumn("act_uri",
+        concat(lit(Ns.act), col("conv_id"), lit("_"), col("kind"),
+          lit("Activity_"), col("ordinal").cast("string")))
+      .withColumn("tspan_uri", concat(col("act_uri"), lit("_time-span")))
+      .withColumn("lexical", lex)
+      .withColumn("fd", Fns.formatDate(col("lexical")))
+      .withColumn("cert", Fns.dateCertainty(certCode))
+    def t(subj: org.apache.spark.sql.Column, pred: String,
+          obj: org.apache.spark.sql.Column, isIri: Boolean,
+          lang: String, dtype: org.apache.spark.sql.Column) =
+      a.select(subj.as("subj"), lit(pred).as("pred"), obj.as("obj_value"),
+        lit(isIri).as("obj_is_iri"), lit(lang).as("obj_lang"),
+        dtype.as("obj_dtype"))
+    val label = concat(col("conv_id"), lit(" "), col("kind"),
+      lit(" activity "), col("ordinal").cast("string"))
+    t(col("act_uri"), Ns.rdfType, lit(Ns.tActivity), isIri = true, "", lit(""))
+      .unionAll(t(col("act_uri"), Ns.rdfsLabel, label, isIri = false, "en", lit("")))
+      .unionAll(t(col("act_uri"), Ns.hasTimeSpan, col("tspan_uri"), isIri = true, "", lit("")))
+      .unionAll(t(col("tspan_uri"), Ns.rdfType, lit(Ns.tTimeSpan), isIri = true, "", lit("")))
+      .unionAll(t(col("tspan_uri"), Ns.atSomeTimeWithin, col("fd.lexical"),
+        isIri = false, "", col("fd.dtype")))
+      .unionAll(t(col("tspan_uri"), Ns.beginOfBegin, Dates.intervalStart(col("lexical")),
+        isIri = false, "", lit(Ns.xsdDateTime)))
+      .unionAll(t(col("tspan_uri"), Ns.endOfEnd, Dates.intervalEnd(col("lexical")),
+        isIri = false, "", lit(Ns.xsdDateTime)))
+      .unionAll(t(col("tspan_uri"), Ns.hasCertainty, col("cert"),
+        isIri = false, "", lit("")))
   }
 
   /** owl:sameAs edges for every mentioned, authority-linked person:
@@ -168,6 +228,8 @@ object Emit {
   def allTriples(spark: SparkSession, dir: String,
                  transcripts: DataFrame, linked: DataFrame): DataFrame = {
     val l = persistedLinked(linked)
-    factTriples(spark, dir, transcripts, l).unionAll(contextTriples(l))
+    factTriples(spark, dir, transcripts, l)
+      .unionAll(contextTriples(l))
+      .unionAll(activityTriples(l))
   }
 }

@@ -122,6 +122,31 @@ object Extras {
         lit(Ns.pred + "employedAt").as("pred"), col("obj_value")).distinct()
   }
 
+  /** J11 — family-member sex-consistency placeholder
+    * (`Biography/lifeInfo.py:360-396` + `data/writers_sex.csv`): a person
+    * found for a gendered relation whose WRITER_MAP sex conflicts with the
+    * relation's expected sex is replaced by a deterministic
+    * `<person>_PLACEHOLDER_<relation>` URI. Graft: the relation of a person
+    * mention is mother/father by turn parity; the expected sex comes from a
+    * FAMILY_MAP-style literal map; the person's sex from the broadcast
+    * people dictionary's gender column. */
+  def familyPlaceholder(spark: SparkSession, dir: String,
+                        linked: DataFrame): DataFrame = {
+    val people = broadcast(graft.sources.Dicts.people(spark, dir)
+      .select(col("uri").as("obj_value"), col("gender")))
+    val relation = when(col("turn_idx") % 2 === 0, "mother").otherwise("father")
+    val expectedSex = when(col("relation") === "mother", "female")
+      .otherwise("male")
+    linked.filter(col("kind") === "person" && col("matched"))
+      .withColumn("relation", relation)
+      .join(people, Seq("obj_value"))
+      .select(col("conv_id"), col("turn_idx"), col("midx"), col("relation"),
+        when(col("gender") =!= expectedSex,
+          concat(lit(Ns.conv), col("conv_id"), lit("_PLACEHOLDER_"),
+            col("relation")))
+          .otherwise(col("obj_value")).as("member_uri"))
+  }
+
   /** O2 — deterministic sample selection (`Utils/utilities.py:660-671`
     * first/last/random-N, made reproducible): every 10th conversation by
     * conv number (content-derived, partition-order-free). */

@@ -91,7 +91,8 @@ place_dict AS (
 people_dict AS (
   SELECT lower(c_name) AS key, '${Ns.person}' || CAST(c_custkey AS VARCHAR) AS uri,
          CAST(c_custkey AS BIGINT) AS custkey,
-         '${Ns.viaf}' || CAST(c_custkey // 3 AS VARCHAR) AS viaf_uri
+         '${Ns.viaf}' || CAST(c_custkey // 3 AS VARCHAR) AS viaf_uri,
+         CASE WHEN c_custkey % 2 = 0 THEN 'female' ELSE 'male' END AS gender
   FROM customer
 ),
 org_dict AS (SELECT lower(s_name) AS key, '${Ns.org}' || CAST(s_suppkey AS VARCHAR) AS uri FROM supplier),
@@ -140,6 +141,22 @@ ctx AS (
   SELECT *, row_number() OVER (PARTITION BY conv_id, kind ORDER BY turn_idx, midx) AS ordinal
   FROM emitting
 ),
+act AS (
+  -- Activity/time-span emission base (activity kinds only; same ordinals
+  -- as ctx because the emitting sets coincide for these kinds)
+  SELECT conv_id, turn_idx, kind, ordinal,
+    '${Ns.act}' || conv_id || '_' || kind || 'Activity_' || CAST(ordinal AS VARCHAR) AS act_uri,
+    '${Ns.act}' || conv_id || '_' || kind || 'Activity_' || CAST(ordinal AS VARCHAR) || '_time-span' AS tspan_uri,
+    conv_id || ' ' || kind || ' activity ' || CAST(ordinal AS VARCHAR) AS label,
+    CASE WHEN turn_idx % 4 = 0 THEN strftime(ts, '%Y')
+         WHEN turn_idx % 4 = 1 THEN strftime(ts, '%Y-%m')
+         WHEN turn_idx % 4 = 2 THEN strftime(ts, '%Y-%m-%d')
+         ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS lexical,
+    CASE WHEN turn_idx % 5 = 0 THEN 'highCertainty'
+         WHEN turn_idx % 5 IN (1, 2) THEN 'mediumCertainty'
+         ELSE 'lowCertainty' END AS cert
+  FROM ctx WHERE kind IN ('place','place_left','occupation')
+),
 all_triples_raw AS (
   SELECT DISTINCT '${Ns.conv}' || conv_id AS subj, '${Ns.rdfType}' AS pred,
          '${Ns.tPerson}' AS obj_value, TRUE AS obj_is_iri, '' AS obj_lang, '' AS obj_dtype FROM tr
@@ -177,6 +194,36 @@ all_triples_raw AS (
   FROM (SELECT DISTINCT obj_value FROM linked WHERE kind='person' AND matched) p
   JOIN people_dict d ON d.uri = p.obj_value
   WHERE d.custkey % 5 <> 0
+  UNION ALL
+  -- Activity + Time-Span nodes with typed, never-normalized date literals
+  SELECT act_uri, '${Ns.rdfType}', '${Ns.tActivity}', TRUE, '', '' FROM act
+  UNION ALL
+  SELECT act_uri, '${Ns.rdfsLabel}', label, FALSE, 'en', '' FROM act
+  UNION ALL
+  SELECT act_uri, '${Ns.hasTimeSpan}', tspan_uri, TRUE, '', '' FROM act
+  UNION ALL
+  SELECT tspan_uri, '${Ns.rdfType}', '${Ns.tTimeSpan}', TRUE, '', '' FROM act
+  UNION ALL
+  SELECT tspan_uri, '${Ns.atSomeTimeWithin}', lexical, FALSE, '',
+         CASE WHEN length(lexical) = 19 THEN '${Ns.xsdDateTime}'
+              WHEN length(lexical) = 10 THEN '${Ns.xsdDate}'
+              WHEN length(lexical) = 7 THEN '${Ns.xsdGYearMon}'
+              WHEN length(lexical) IN (4,5) THEN '${Ns.xsdGYear}'
+              ELSE '${Ns.xsdString}' END FROM act
+  UNION ALL
+  SELECT tspan_uri, '${Ns.beginOfBegin}',
+         CASE WHEN length(lexical) = 4 THEN lexical || '-01-01 00:00:00'
+              WHEN length(lexical) = 7 THEN lexical || '-01 00:00:00'
+              WHEN length(lexical) = 10 THEN lexical || ' 00:00:00'
+              ELSE lexical END, FALSE, '', '${Ns.xsdDateTime}' FROM act
+  UNION ALL
+  SELECT tspan_uri, '${Ns.endOfEnd}',
+         CASE WHEN length(lexical) = 4 THEN lexical || '-12-31 23:59:59'
+              WHEN length(lexical) = 7 THEN strftime(last_day(CAST(lexical || '-01' AS DATE)), '%Y-%m-%d') || ' 23:59:59'
+              WHEN length(lexical) = 10 THEN lexical || ' 23:59:59'
+              ELSE lexical END, FALSE, '', '${Ns.xsdDateTime}' FROM act
+  UNION ALL
+  SELECT tspan_uri, '${Ns.hasCertainty}', cert, FALSE, '', '' FROM act
 ),
 all_triples AS (SELECT DISTINCT * FROM all_triples_raw)
 """
@@ -215,6 +262,8 @@ canon AS (SELECT n AS node, min(m) AS canon FROM reach GROUP BY n)
                  FROM ctx"""),
     "kg_triples" ->
       (BASE + "SELECT * FROM all_triples"),
+    "kg_activities" ->
+      (BASE + s"SELECT * FROM all_triples WHERE subj LIKE '${Ns.act}%'"),
     "kg_sameas_clusters" ->
       (BASE + CLOSURE_CTES + "SELECT node, canon FROM canon"),
     "kg_triples_canon" ->
@@ -337,6 +386,46 @@ WHERE o.kind = 'org' AND o.matched"""),
     "kg_sample" ->
       (BASE + """SELECT conv_id, turn_idx, role, text, tool, ts FROM tr
 WHERE CAST(substr(conv_id, 6) AS INT) % 10 = 0"""),
+    "kg_works" -> s"""
+WITH gmap AS (
+  SELECT l_orderkey AS o_orderkey,
+         list_sort(list_distinct(list(l_returnflag || l_linestatus))) AS genres
+  FROM lineitem GROUP BY 1)
+SELECT '${Ns.work}' || CAST(o_orderkey AS VARCHAR) AS subj,
+       '${Ns.rdfType}' AS pred, '${Ns.tWork}' AS obj_value,
+       TRUE AS obj_is_iri, '' AS obj_lang, '' AS obj_dtype
+FROM orders
+UNION ALL
+SELECT '${Ns.work}' || CAST(o_orderkey AS VARCHAR), '${Ns.authoredBy}',
+       '${Ns.person}' || CAST(o_custkey AS VARCHAR), TRUE, '', ''
+FROM orders
+UNION ALL
+SELECT '${Ns.work}' || CAST(o.o_orderkey AS VARCHAR), '${Ns.hasGenre}',
+       '${Ns.genre}' || g.genre, TRUE, '', ''
+FROM orders o
+JOIN (SELECT o_orderkey, unnest(genres) AS genre FROM gmap) g
+  ON g.o_orderkey = o.o_orderkey""",
+    "kg_family_placeholder" ->
+      (BASE + s"""SELECT l.conv_id, l.turn_idx, l.midx,
+  CASE WHEN l.turn_idx % 2 = 0 THEN 'mother' ELSE 'father' END AS relation,
+  CASE WHEN d.gender <> (CASE WHEN l.turn_idx % 2 = 0 THEN 'female' ELSE 'male' END)
+       THEN '${Ns.conv}' || l.conv_id || '_PLACEHOLDER_' ||
+            (CASE WHEN l.turn_idx % 2 = 0 THEN 'mother' ELSE 'father' END)
+       ELSE l.obj_value END AS member_uri
+FROM linked l JOIN people_dict d ON d.uri = l.obj_value
+WHERE l.kind = 'person' AND l.matched"""),
+    "kg_ttl_lines" ->
+      (BASE + s""", rendered AS (
+  SELECT ${graft.io.Turtle.termSql("subj")} AS s,
+         ${graft.io.Turtle.termSql("pred")} || ' ' ||
+         CASE WHEN obj_is_iri THEN ${graft.io.Turtle.termSql("obj_value")}
+              WHEN obj_lang <> '' THEN '"' || obj_value || '"@' || obj_lang
+              WHEN obj_dtype <> '' THEN '"' || obj_value || '"^^' || ${graft.io.Turtle.termSql("obj_dtype")}
+              ELSE '"' || obj_value || '"' END AS po
+  FROM all_triples)
+SELECT line FROM (VALUES ${graft.io.Turtle.headerLines.map(l => s"('$l')").mkString(",")}) h(line)
+UNION ALL
+SELECT s || ' ' || string_agg(po, ' ; ' ORDER BY po) || ' .' FROM rendered GROUP BY s"""),
     "kg_nt_lines" ->
       (BASE + """SELECT '<' || subj || '> <' || pred || '> ' ||
   CASE WHEN obj_is_iri THEN '<' || obj_value || '>'

@@ -84,13 +84,16 @@ object Dicts {
 
   /** People: customer names → person URIs + VIAF-style sameAs targets.
     * viaf id = custkey DIV 3 (clusters of three — the sameAs-closure seed,
-    * analog of PERSON_MAP/wikidata_ids, `Biography/biography.py:12-36`). */
+    * analog of PERSON_MAP/wikidata_ids, `Biography/biography.py:12-36`).
+    * gender = the WRITER_MAP "SEX" column (`data/writers_sex.csv` analog,
+    * `Biography/lifeInfo.py:360-396`), derived as custkey parity. */
   def people(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir).select(
       lower(col("c_name")).as("key"),
       concat(lit(Ns.person), col("c_custkey").cast("string")).as("uri"),
       col("c_custkey").cast("long").as("custkey"),
-      concat(lit(Ns.viaf), expr("CAST(c_custkey DIV 3 AS STRING)")).as("viaf_uri"))
+      concat(lit(Ns.viaf), expr("CAST(c_custkey DIV 3 AS STRING)")).as("viaf_uri"),
+      when(col("c_custkey") % 2 === 0, "female").otherwise("male").as("gender"))
 
   /** Orgs: supplier names → org URIs (`Utils/organizations.py:56-83`). */
   def orgs(spark: SparkSession, dir: String): DataFrame =

@@ -41,6 +41,23 @@ class GoldenTripleSpec extends SparkSpec {
       litLang(c, Ns.hasSnippet, text))
   }
 
+  /** Hand-derived Activity + Time-Span node (8 triples): typed partial-date
+    * literal by lexical length, interval endpoints, certainty. */
+  private def actTriples(kind: String, ord: Int, lex: String, dtype: String,
+                         start: String, end: String, cert: String) = {
+    val a = s"${Ns.act}${conv}_${kind}Activity_$ord"
+    val tsp = a + "_time-span"
+    Seq(
+      iri(a, Ns.rdfType, Ns.tActivity),
+      litLang(a, Ns.rdfsLabel, s"$conv $kind activity $ord"),
+      iri(a, Ns.hasTimeSpan, tsp),
+      iri(tsp, Ns.rdfType, Ns.tTimeSpan),
+      Triple(tsp, Ns.atSomeTimeWithin, lex, false, "", dtype),
+      Triple(tsp, Ns.beginOfBegin, start, false, "", Ns.xsdDateTime),
+      Triple(tsp, Ns.endOfEnd, end, false, "", Ns.xsdDateTime),
+      litPlain(tsp, Ns.hasCertainty, cert))
+  }
+
   private val t0 = "I visited Nation_3 and met Customer#000000007 working as novelist."
   private val t1 = "I visited Nation_28 and met Customer#000000199 working as zorbulator leaving Nation_3."
   private val t2 = "I met Customer#000000010 working as Ontarian leaving Nation_4."
@@ -52,6 +69,11 @@ class GoldenTripleSpec extends SparkSpec {
   // drops the filler sentence (F6/F7, utilities.py:266-281 + context.py:277)
   private val t4snip = "I met Customer#000000199 working as floozle one two three four" +
     " five six seven eight."
+  private val dt3 = "2024-01-01 10:03:00"           // turn 3's full-precision ts
+  private val d0 = "2024-01-01 00:00:00"
+  private val dYearEnd = "2024-12-31 23:59:59"
+  private val dMonEnd = "2024-01-31 23:59:59"
+  private val dDayEnd = "2024-01-01 23:59:59"
 
   private val golden: Set[Triple] = (Seq(
     // skeleton (biography.py:198-226 analog)
@@ -95,7 +117,20 @@ class GoldenTripleSpec extends SparkSpec {
     ++ ctxTriples("occupation", 3, 2, t2)
     ++ ctxTriples("occupation", 4, 3, t3)  // singer
     ++ ctxTriples("occupation", 5, 3, t3)  // weaver
-    ++ ctxTriples("occupation", 6, 4, t4snip)).toSet
+    ++ ctxTriples("occupation", 6, 4, t4snip)
+    // activities (place/place_left/occupation only): precision cycles with
+    // turn%4 (0→gYear 1→gYearMonth 2→date 3→dateTime), certainty with turn%5
+    ++ actTriples("place", 1, "2024", Ns.xsdGYear, d0, dYearEnd, "highCertainty")
+    ++ actTriples("place", 2, dt3, Ns.xsdDateTime, dt3, dt3, "lowCertainty")
+    ++ actTriples("place", 3, dt3, Ns.xsdDateTime, dt3, dt3, "lowCertainty")
+    ++ actTriples("place_left", 1, "2024-01", Ns.xsdGYearMon, d0, dMonEnd, "mediumCertainty")
+    ++ actTriples("place_left", 2, "2024-01-01", Ns.xsdDate, d0, dDayEnd, "mediumCertainty")
+    ++ actTriples("occupation", 1, "2024", Ns.xsdGYear, d0, dYearEnd, "highCertainty")
+    ++ actTriples("occupation", 2, "2024-01", Ns.xsdGYearMon, d0, dMonEnd, "mediumCertainty")
+    ++ actTriples("occupation", 3, "2024-01-01", Ns.xsdDate, d0, dDayEnd, "mediumCertainty")
+    ++ actTriples("occupation", 4, dt3, Ns.xsdDateTime, dt3, dt3, "lowCertainty")
+    ++ actTriples("occupation", 5, dt3, Ns.xsdDateTime, dt3, dt3, "lowCertainty")
+    ++ actTriples("occupation", 6, "2024", Ns.xsdGYear, d0, dYearEnd, "lowCertainty")).toSet
 
   test("triple emission matches the hand-derived golden set exactly (P/R = 1.0)") {
     import spark.implicits._
@@ -106,7 +141,7 @@ class GoldenTripleSpec extends SparkSpec {
     val extra = got -- golden
     assert(missing.isEmpty, s"missing triples: ${missing.mkString("\n")}")
     assert(extra.isEmpty, s"unexpected triples: ${extra.mkString("\n")}")
-    assert(got.size == 70)
+    assert(got.size == 158) // 70 facts+contexts + 88 activity triples
   }
 
   test("canonicalization rewrites identities to the component min label") {

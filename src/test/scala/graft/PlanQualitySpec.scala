@@ -30,6 +30,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("user_id"), "user_id must be pruned from the scan")
   }
 
+  test("kg_works plans a shuffle (sort-merge) join — the fact×fact class") {
+    spark.catalog.clearCache()
+    val plan = operators.Works.workTriples(
+      sources.Tables.orders(spark, sfDir), sources.Tables.lineitem(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"),
+      "two large fact sides must shuffle-join, not broadcast")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"))
+  }
+
   test("whole-stage codegen covers the extraction path (no UDF breaks)") {
     val plan = Pipeline.mentions(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("*(1)"), "extraction should sit in codegen stage 1")
