@@ -40,6 +40,10 @@ object Bench {
     // and deterministic: pure arithmetic). Used by the N-vs-4N scaling runs,
     // where the fixture SF is too small to saturate even N cores.
     val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "1").toInt
+    // conv_id is lpad-6: conv numbers must stay < 10^6 or distinct convs
+    // would truncate-collide and silently skew the benchmark
+    require(scale <= 19, s"SPARK_GRAFT_SCALE=$scale exceeds the lpad-6 " +
+      "conv_id headroom (max 19); widen SynthTranscripts' lpad first")
     val inDir = if (scale <= 1) sfDir else {
       import java.nio.file.{Files, Paths}
       import org.apache.spark.sql.functions._
@@ -60,20 +64,31 @@ object Bench {
       tmp.toString
     }
 
-    // --- headline: end-to-end staged pipeline ---
+    // --- headline: end-to-end staged pipeline, median of N reps ---
+    // (±20-50% sandbox noise — a single rep can misrepresent the round.)
     // SPARK_GRAFT_COMPUTE_ONLY=1 times the pure computation path (no stage
     // materialization) — separates compute scaling from the single shared
     // disk of the sandbox, which caps write-stage scaling.
-    val outDir = java.nio.file.Files.createTempDirectory("graft-bench").toString
     val turns = spark.read.parquet(s"$inDir/events.parquet").count()
     val computeOnly = sys.env.get("SPARK_GRAFT_COMPUTE_ONLY").contains("1")
-    val t0 = System.nanoTime()
-    val (triples, canonTriples) =
-      if (computeOnly) {
-        val n = Pipeline.canonTriples(spark, inDir).count()
-        (n, n)
-      } else Run.execute(spark, inDir, outDir, resume = false)
-    val e2eSec = (System.nanoTime() - t0) / 1e9
+    val reps = sys.env.getOrElse("SPARK_GRAFT_E2E_REPS", "3").toInt
+    var triples = 0L
+    var canonTriples = 0L
+    val e2eSecs = (1 to reps).map { _ =>
+      val outDir = java.nio.file.Files.createTempDirectory("graft-bench").toString
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val (t, c) =
+        if (computeOnly) {
+          val n = Pipeline.canonTriples(spark, inDir).count()
+          (n, n)
+        } else Run.execute(spark, inDir, outDir, resume = false)
+      triples = t; canonTriples = c
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] e2e rep $sec%8.2fs")
+      sec
+    }.sorted
+    val e2eSec = e2eSecs(e2eSecs.size / 2) // median
 
     // --- per-query timings (cold, scan included) ---
     // SPARK_GRAFT_E2E_ONLY=1 skips them (used for the N-vs-4N scaling runs,
@@ -83,20 +98,32 @@ object Bench {
       if (e2eOnly) Seq.empty else SparkEntry.queries.toSeq.sortBy(_._1)
     val results = allQueries.map { case (name, fn) =>
       val q0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a crashed query records its elapsed time AND lands in `failed` —
+      // never a bogus fast timing that would read as a speedup
+      val ok = try { fn(spark, sfDir).count(); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
       val sec = (System.nanoTime() - q0) / 1e9
       System.err.println(f"[bench] $name%-22s $sec%8.2fs")
       spark.catalog.clearCache() // queries persist intermediates; isolate them
-      name -> sec
+      (name, sec, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val failed = results.filterNot(_._3).map("\"" + _._1 + "\"")
+      .mkString("[", ",", "]")
 
     val tps = (triples / e2eSec).toLong
     val rps = (turns / e2eSec).toLong
     val qTotal = results.map(_._2).sum
-    println(
-      f"""{"metric":"kg_pipeline_e2e","value":$e2eSec%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","cpus":$cpus%s,"turns":$turns%d,"triples":$triples%d,"canon_triples":$canonTriples%d,"triples_per_sec":$tps%d,"turns_per_sec":$rps%d,"query_total_sec":$qTotal%.3f}""")
+    val json =
+      f"""{"metric":"kg_pipeline_e2e","value":$e2eSec%.3f,"unit":"sec","queries":$qs%s,"failed":$failed%s,"sf":"$sfDir%s","cpus":$cpus%s,"e2e_reps":${e2eSecs.map(s => f"$s%.3f").mkString("[", ",", "]")}%s,"turns":$turns%d,"triples":$triples%d,"canon_triples":$canonTriples%d,"triples_per_sec":$tps%d,"turns_per_sec":$rps%d,"query_total_sec":$qTotal%.3f}"""
+    println(json)
+    // belt-and-braces: also drop the line where a stdout-parsing failure
+    // can't lose it
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH/last_run.json"), json + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
 object NTriples {
 
   private def escapeLit(c: org.apache.spark.sql.Column) =
-    regexp_replace(regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"),
-      "\"", "\\\\\""), "\n", "\\\\n")
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      c, "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n"),
+      "\r", "\\\\r"), "\t", "\\\\t")
 
   /** Triple table → one-column ("line") N-Triples text. */
   def export(triples: DataFrame): DataFrame = {
@@ -41,7 +42,8 @@ object NTriples {
     val litVal = regexp_extract(l, "^<[^>]*> <[^>]*> \"(.*)\"(@[a-zA-Z-]+|\\^\\^<[^>]*>)? \\.$", 1)
     val lang = regexp_extract(l, "\"@([a-zA-Z-]+) \\.$", 1)
     val dtype = regexp_extract(l, "\"\\^\\^<([^>]*)> \\.$", 1)
-    val unescaped = regexp_replace(regexp_replace(regexp_replace(litVal,
+    val unescaped = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(litVal, "\\\\t", "\t"), "\\\\r", "\r"),
       "\\\\n", "\n"), "\\\\\"", "\""), "\\\\\\\\", "\\\\")
     lines.select(
       subj.as("subj"), pred.as("pred"),

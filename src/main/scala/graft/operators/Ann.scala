@@ -8,21 +8,23 @@ import org.apache.spark.sql.functions._
   *
   * - Brute-force cosine top-k: broadcast the (small) query set against the
   *   full vector table — the scale path for "few queries × huge corpus".
-  *   All math in double via zip_with + aggregate fold (codegen'd, no UDF).
+  *   All math in double via the fused codegen dot product (no UDF).
   * - LSH-bucketed variant: random-hyperplane signs derived from md5 so the
-  *   plane set is deterministic and oracle-reproducible; vectors join on
-  *   bucket signature first, shrinking the candidate space — the scale path
-  *   for "all-pairs near-dup at 10^9 vectors".
-  * - Near-duplicate pairs: cosine ≥ threshold over an augmented corpus
-  *   (scaled copies — scalar multiples have cosine 1 up to 1 ulp, so the
-  *   0.999 threshold is decision-stable across engines).
+  *   plane set is deterministic and oracle-reproducible. The plane weight
+  *   vectors are precomputed DRIVER-SIDE from the same md5 derivation the
+  *   oracle uses and inlined as array literals, so the whole signature is a
+  *   NARROW PROJECTION — zero shuffle, zero join-back, one pass over the
+  *   scan (the previous shape exploded dims×planes rows through two
+  *   aggregations and joined the result back on vec_id).
+  * - Near-duplicate pairs: verification INSIDE LSH buckets (equi-join on
+  *   the full signature), never all-pairs — the 10⁹-vector scale path.
   */
 object Ann {
 
   /** Cast float embedding to double once; precompute the L2 norm. The
     * repartition spreads the (often single-file) vector table across all
-    * cores — the pair joins below are nested-loop evaluations whose
-    * parallelism equals the stream side's partition count. */
+    * cores — the pair joins below are per-bucket equi-joins whose
+    * parallelism follows the partitioning. */
   def prepared(emb: DataFrame): DataFrame = {
     val parts = emb.sparkSession.sparkContext.defaultParallelism
     emb.repartition(parts)
@@ -31,9 +33,10 @@ object Ann {
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
   }
 
-  /** Fused codegen'd dot product (graft.plans.DotProduct) — bit-equal to
-    * `aggregate(zip_with(a,b,_*_), 0.0, _+_)` but without the per-row
-    * intermediate array; registration is idempotent per session. */
+  /** Fused codegen'd dot product (graft.plans.DotProduct) — equal to
+    * `aggregate(zip_with(a,b,_*_),0.0,_+_)` on equal-length inputs but
+    * without the per-row intermediate array; registration is idempotent
+    * per session. */
   private def dot(a: Column, b: Column): Column = {
     graft.plans.GraftFunctions.register(
       org.apache.spark.sql.SparkSession.active)
@@ -59,25 +62,39 @@ object Ann {
 
   val NumPlanes = 8
 
-  /** Random-hyperplane LSH signature: plane p's weight for dimension i is
-    * +1 if the first hex nibble of md5(p || '_' || i) is even else -1.
-    * signature bit p = (Σ_i w_pi · v_i) > 0. Output (vec_id, bucket). */
-  def lshBuckets(emb: DataFrame): DataFrame = {
-    val p = prepared(emb)
-    val dims = p.select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
-    val planes = dims.select(col("vec_id"), col("i"), col("x"),
-      explode(sequence(lit(0), lit(NumPlanes - 1))).as("pl"))
-      .withColumn("w",
-        when(expr("instr('0123456789abcdef', substring(md5(concat(cast(pl as string), '_', cast(i as string))), 1, 1)) % 2") === 1,
-          lit(1.0)).otherwise(lit(-1.0)))
-    planes.groupBy("vec_id", "pl")
-      .agg(sum(col("w") * col("x")).as("proj"))
-      .withColumn("bit",
-        when(col("proj") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(pl AS INT))"))
-          .otherwise(lit(0L)))
-      .groupBy("vec_id")
-      .agg(sum("bit").cast("long").as("bucket"))
+  /** Plane p's weight for dimension i: +1 if the 1-based position of the
+    * first hex nibble of md5("<p>_<i>") in '0123456789abcdef' is odd,
+    * else -1 — byte-identical to the oracle's SQL md5 derivation. */
+  private def planeWeights(p: Int, dim: Int): Seq[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dim).map { i =>
+      val h = md.digest(s"${p}_$i".getBytes("UTF-8"))
+      val nibble = (h(0) >> 4) & 0xf // first hex char's value = 0-based pos
+      if ((nibble + 1) % 2 == 1) 1.0 else -1.0
+    }
   }
+
+  /** Signature bit p = (w_p · v) > 0; bucket = the packed bit vector.
+    * A pure per-row projection over inlined weight literals. */
+  def bucketExpr(v: Column, dim: Int): Column =
+    (0 until NumPlanes).map { p =>
+      val proj = dot(v, typedlit(planeWeights(p, dim)))
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Vector dim probe — one driver-side row read, amortized over the job. */
+  private def dimOf(emb: DataFrame): Int =
+    emb.select(size(col("embedding"))).head().getInt(0)
+
+  /** prepared + bucket column in ONE narrow pass (no shuffle, no self-join). */
+  def annotated(emb: DataFrame): DataFrame = {
+    val dim = dimOf(emb)
+    prepared(emb).withColumn("bucket", bucketExpr(col("v"), dim))
+  }
+
+  /** Random-hyperplane LSH signatures: (vec_id, bucket). */
+  def lshBuckets(emb: DataFrame): DataFrame =
+    annotated(emb).select(col("vec_id"), col("bucket"))
 
   /** LSH-bucketed ANN search — the 10^9-vector scale path: each query only
     * scores vectors sharing its full hyperplane signature, so the pair
@@ -86,7 +103,7 @@ object Ann {
     * within candidates; recall improves with fewer planes / multiple
     * tables, tested against the exact brute force. */
   def lshSearch(emb: DataFrame, k: Int = 5): DataFrame = {
-    val p = prepared(emb).join(lshBuckets(emb), "vec_id")
+    val p = annotated(emb)
     val q = p.filter(col("vec_id") % 25 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("norm").as("qn"), col("bucket"))
@@ -101,18 +118,20 @@ object Ann {
   }
 
   /** Near-duplicate pairs over the augmented corpus (original ∪ 2×-scaled
-    * copies at vec_id+100000): cosine ≥ 0.999, a < b. */
+    * copies at vec_id+100000): verified WITHIN LSH buckets — candidates =
+    * same full signature (scalar multiples always share it: signs are
+    * scale-invariant), then cosine ≥ 0.999 and a < b. An equi-join on the
+    * bucket key, never a nested-loop/cartesian pair space. */
   def nearDupPairs(emb: DataFrame): DataFrame = {
-    // even vec_ids only: bounds the O(n²) pair space in the verification
-    // query; the at-scale path buckets through lshBuckets first.
-    val base = emb.filter(col("vec_id") % 2 === 0)
-    val aug = base.select(col("vec_id"), col("embedding"))
-      .unionAll(base.select((col("vec_id") + 100000).as("vec_id"),
+    val aug = emb.select(col("vec_id"), col("embedding"))
+      .unionAll(emb.select((col("vec_id") + 100000).as("vec_id"),
         transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
-    val p = prepared(aug)
-    val l = p.select(col("vec_id").as("a"), col("v").as("av"), col("norm").as("an"))
-    val r = p.select(col("vec_id").as("b"), col("v").as("bv"), col("norm").as("bn"))
-    l.join(r, col("a") < col("b"))
+    val p = annotated(aug)
+    val l = p.select(col("bucket"), col("vec_id").as("a"),
+      col("v").as("av"), col("norm").as("an"))
+    val r = p.select(col("bucket"), col("vec_id").as("b"),
+      col("v").as("bv"), col("norm").as("bn"))
+    l.join(r, Seq("bucket")).filter(col("a") < col("b"))
       .withColumn("cos", dot(col("av"), col("bv")) / (col("an") * col("bn")))
       .filter(col("cos") >= 0.999)
       .select("a", "b")

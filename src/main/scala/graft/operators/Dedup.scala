@@ -116,27 +116,32 @@ object Dedup {
           .as("is_dup"))
   }
 
-  /** 16-bit SimHash over the distinct-word set. Word w contributes ±1 to
-    * bit b according to bit b of the 16-bit integer parsed from the first
-    * 4 hex chars of md5(w); the parse is spelled out nibble-by-nibble so
-    * DuckDB (which lacks a hex→int conv) reproduces it exactly. */
+  /** 64-bit SimHash over the distinct-word set, rendered as a 16-hex-char
+    * fingerprint. Word w contributes ±1 to bit b according to bit b of the
+    * 64-bit integer spelled by md5(w)'s first 16 hex chars (bit b lives in
+    * hex char b/4, sub-bit b%4) — nibble-by-nibble so DuckDB (no hex→int
+    * conv, and a sign trap at bit 63) reproduces it exactly. The hex-string
+    * encoding sidesteps int64 sign entirely. */
   def simhash(c: DataFrame): DataFrame = {
     val words = c.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .distinct()
-    val weights = Seq(4096, 256, 16, 1)
-    val vExpr = (0 until 4).map(i =>
-      s"(instr('0123456789abcdef', substring(md5(w), ${i + 1}, 1)) - 1) * ${weights(i)}"
-    ).mkString(" + ")
-    val bits = words.withColumn("v", expr(vExpr))
-      .select(col("doc_id"), col("v"),
-        explode(sequence(lit(0), lit(15))).as("b"))
-      .withColumn("contrib",
-        when(expr("(v DIV shiftleft(1, b)) % 2") === 1, lit(1)).otherwise(lit(-1)))
-    bits.groupBy("doc_id", "b")
+    val bits = words
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), lit(63))).as("b"))
+      .withColumn("contrib", when(expr(
+        "((instr('0123456789abcdef', substring(md5(w), CAST(b DIV 4 AS INT) + 1, 1)) - 1) DIV shiftleft(1, CAST(b % 4 AS INT))) % 2"
+      ) === 1, lit(1)).otherwise(lit(-1)))
+    val nibbles = bits.groupBy("doc_id", "b")
       .agg(sum("contrib").as("s"))
       .withColumn("bit_val",
-        when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(lit(0L)))
-      .groupBy("doc_id")
-      .agg(sum("bit_val").cast("long").as("simhash"))
+        when(col("s") > 0, expr("shiftleft(1, CAST(b % 4 AS INT))")).otherwise(lit(0)))
+      .groupBy(col("doc_id"), expr("CAST(b DIV 4 AS INT)").as("nib"))
+      .agg(sum("bit_val").as("nibv"))
+      .withColumn("hex",
+        expr("substring('0123456789abcdef', CAST(nibv AS INT) + 1, 1)"))
+    nibbles.groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("nib"), col("hex")))),
+        s => s.getField("hex")), "").as("simhash"))
   }
 }

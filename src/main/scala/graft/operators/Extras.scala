@@ -99,10 +99,17 @@ object Extras {
         col("uri"), col("lev"))
   }
 
-  /** P11 — generic-name stoplist (`Utils/context.py:381-395`: suppress
-    * altLabel emission for "he/she/wife/king/…"): occupation surfaces on
-    * the stoplist don't get label triples. */
-  val genericStoplist: Seq[String] = Seq("floozle", "zorbulator")
+  /** P11 — generic-name stoplist: the reference's full generic_names list
+    * (`Utils/context.py:381`, verbatim) plus the synthetic corpus's two
+    * garbage occupation words; surfaces on the stoplist don't get label
+    * triples. The oracle's NOT IN list is generated from this constant. */
+  val genericStoplist: Seq[String] = Seq(
+    "king", "King", "mother-in-law", "Queen", "queen", "husband", "wife",
+    "partner", "father", "daughter", "essay", "son", "he", "she", "they",
+    "her", "him", "them", "sisters", "the", "mother", "sibling", "brother",
+    "sister", "friend", "his wife", "her husband", "his husband", "her wife",
+    "their husband", "their wife", "lover", "family",
+    "floozle", "zorbulator")
   def stoplistFiltered(linked: DataFrame): DataFrame =
     linked.filter(col("kind") === "occupation" &&
         !col("surface").isin(genericStoplist: _*))

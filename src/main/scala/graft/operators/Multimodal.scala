@@ -70,7 +70,10 @@ object Multimodal {
     * byte-correct for any payload). */
   def frameSampleRelational(docs: DataFrame, k: Int = 64): DataFrame = {
     val idx = sequence(lit(0), greatest(length(col("text")) - 1, lit(0)), lit(k))
-    docs.select(col("doc_id"), col("text"), explode(idx).as("frame_idx"))
+    // empty payloads yield NO frames (the kernel and oracle agree; without
+    // the guard, sequence(0, greatest(-1, 0)) would emit a frame_idx=0 row)
+    docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"), explode(idx).as("frame_idx"))
       .select(col("doc_id"), col("frame_idx"),
         ascii(expr("substr(text, frame_idx + 1, 1)")).as("byte"))
   }

@@ -375,8 +375,10 @@ ranked AS (
   FROM cands)
 SELECT conv_id, turn_idx, surface, uri, lev FROM ranked WHERE rn = 1"""),
     "kg_stoplist" ->
-      (BASE + """SELECT DISTINCT conv_id, turn_idx, surface FROM linked
-WHERE kind = 'occupation' AND surface NOT IN ('floozle','zorbulator')"""),
+      (BASE + s"""SELECT DISTINCT conv_id, turn_idx, surface FROM linked
+WHERE kind = 'occupation' AND surface NOT IN (${
+        graft.operators.Extras.genericStoplist.map(w => s"'$w'").mkString(",")
+      })"""),
     "kg_employer" ->
       (BASE + s"""SELECT DISTINCT '${Ns.conv}' || o.conv_id AS subj,
   '${Ns.pred}employedAt' AS pred, o.obj_value
@@ -510,17 +512,18 @@ JOIN sizes na ON na.doc_id = p.a
 JOIN sizes nb ON nb.doc_id = p.b"""),
     "doc_simhash" -> (CORPUS + """
 , wd AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM corpus),
-wv AS (SELECT doc_id,
-         (strpos('0123456789abcdef', substr(md5(w),1,1))-1)*4096
-       + (strpos('0123456789abcdef', substr(md5(w),2,1))-1)*256
-       + (strpos('0123456789abcdef', substr(md5(w),3,1))-1)*16
-       + (strpos('0123456789abcdef', substr(md5(w),4,1))-1) AS v
-       FROM wd),
 bits AS (
-  SELECT doc_id, t.b, sum(CASE WHEN (v // (1 << t.b)) % 2 = 1 THEN 1 ELSE -1 END) AS s
-  FROM wv, range(0, 16) t(b) GROUP BY doc_id, t.b)
-SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
-FROM bits GROUP BY doc_id"""),
+  SELECT doc_id, t.b,
+    sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(w), CAST(t.b // 4 AS INT) + 1, 1)) - 1)
+                   // (1 << CAST(t.b % 4 AS INT))) % 2 = 1 THEN 1 ELSE -1 END) AS s
+  FROM wd, range(0, 64) t(b) GROUP BY doc_id, t.b),
+nibs AS (
+  SELECT doc_id, CAST(b // 4 AS INT) AS nib,
+    sum(CASE WHEN s > 0 THEN (1 << CAST(b % 4 AS INT)) ELSE 0 END) AS nibv
+  FROM bits GROUP BY doc_id, CAST(b // 4 AS INT))
+SELECT doc_id,
+  string_agg(substr('0123456789abcdef', CAST(nibv AS INT) + 1, 1), '' ORDER BY nib) AS simhash
+FROM nibs GROUP BY doc_id"""),
     "doc_token_stats" -> """
 SELECT doc_id,
   len(string_split(text, ' ')) AS n_ws_tokens,
@@ -616,15 +619,27 @@ r AS (SELECT query_id, neighbor_id,
       FROM s)
 SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5""",
     "emb_neardup" -> """
-WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
-aug AS (
-  SELECT vec_id, embedding FROM base
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
   UNION ALL
-  SELECT vec_id + 100000, list_transform(embedding, x -> x * CAST(2.0 AS FLOAT)) FROM base),
+  SELECT vec_id + 100000, list_transform(embedding, x -> x * CAST(2.0 AS FLOAT)) FROM embeddings),
 e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM aug),
-n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+d AS (SELECT vec_id, i - 1 AS i, v[i] AS x
+      FROM (SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS i FROM e)),
+p AS (SELECT vec_id, i, x, t.pl,
+        CASE WHEN strpos('0123456789abcdef',
+               substr(md5(CAST(t.pl AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) % 2 = 1
+             THEN 1.0 ELSE -1.0 END AS w
+      FROM d, range(0, 8) t(pl)),
+proj AS (SELECT vec_id, pl, sum(w * x) AS proj FROM p GROUP BY 1, 2),
+buckets AS (
+  SELECT vec_id,
+    CAST(sum(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << CAST(pl AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id),
+nb AS (SELECT n.vec_id, n.v, n.nrm, b.bucket FROM n JOIN buckets b ON b.vec_id = n.vec_id)
 SELECT l.vec_id AS a, r.vec_id AS b
-FROM n l JOIN n r ON l.vec_id < r.vec_id
+FROM nb l JOIN nb r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
 WHERE list_dot_product(l.v, r.v) / (l.nrm * r.nrm) >= 0.999""",
     "mm_features" -> """
 SELECT doc_id, strlen(text) AS n_bytes, strlen(text) % 640 AS width,

@@ -15,7 +15,11 @@ import org.apache.spark.sql.types._
   * pair loops (O(n²) rows) that allocation dominates. This expression
   * generates a tight primitive loop instead. Summation order is identical
   * (ascending index, sequential adds), so results are bit-equal to the
-  * built-in composition and to the DuckDB oracle.
+  * built-in composition and to the DuckDB oracle. Mismatched array lengths
+  * return NULL — the same as the built-in spelling, where zip_with pads the
+  * shorter side with null and the null product poisons the aggregate.
+  * Null elements are a declared precondition violation (callers bind
+  * non-null `transform(..., cast)` outputs).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -23,12 +27,14 @@ case class DotProduct(left: Expression, right: Expression)
   // Callers must bind array<double> children (Ann.prepared casts once);
   // ExpectsInputTypes is private[sql] in Spark 4, so no implicit coercion.
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -38,15 +44,17 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
       val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $x.getDouble($i) * $y.getDouble($i);
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $x.numElements(); $i++) {
+         |    $s += $x.getDouble($i) * $y.getDouble($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

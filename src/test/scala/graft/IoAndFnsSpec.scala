@@ -49,11 +49,20 @@ class SentenceAndDateSpec extends SparkSpec {
   test("dateParseCascade accepts the format family, null on junk (F9)") {
     def p(s: String) = spark.range(1)
       .select(Fns.dateParseCascade(lit(s)).cast("string")).collect()(0).getString(0)
+    // the full activity.py:82-169 strptime family, incl. the Orlando
+    // trailing-dash variants
     assert(p("1891-05-03") == "1891-05-03 00:00:00")
+    assert(p("1891-05-03-") == "1891-05-03 00:00:00")
     assert(p("1891-05") == "1891-05-01 00:00:00")
+    assert(p("1891-05-") == "1891-05-01 00:00:00")
+    assert(p("1891-05--") == "1891-05-01 00:00:00")
     assert(p("1891") == "1891-01-01 00:00:00")
-    assert(p("May 3, 1891") == "1891-05-03 00:00:00")
+    assert(p("1891-") == "1891-01-01 00:00:00")
+    assert(p("1891--") == "1891-01-01 00:00:00")
+    assert(p("May 1891") == "1891-05-01 00:00:00")
     assert(p("3 May 1891") == "1891-05-03 00:00:00")
+    assert(p("Jun 1891") == "1891-06-01 00:00:00")
+    assert(p("3 Jun 1891") == "1891-06-03 00:00:00")
     assert(p("not a date") == null)
   }
 }

@@ -62,10 +62,11 @@ class DedupSpec extends SparkSpec {
   test("simhash: identical word sets → identical hash; disjoint sets differ") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "gamma alpha beta alpha"),
       (3L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
-    val h = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    val h = Dedup.simhash(docs).as[(Long, String)].collect().toMap
     assert(h(1L) == h(2L)) // set semantics: order/multiplicity irrelevant
     assert(h(1L) != h(3L))
-    assert(h.values.forall(v => v >= 0 && v < 65536))
+    // 64-bit fingerprint: 16 lowercase hex chars
+    assert(h.values.forall(_.matches("[0-9a-f]{16}")))
   }
 }
 

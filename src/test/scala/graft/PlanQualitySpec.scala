@@ -41,6 +41,25 @@ class PlanQualitySpec extends SparkSpec {
       !plan.contains("CartesianProduct"))
   }
 
+  test("emb_neardup pairs within LSH buckets — never a nested-loop/cartesian") {
+    spark.catalog.clearCache()
+    val plan = operators.Ann.nearDupPairs(
+      sources.Tables.embeddings(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "near-dup verification must equi-join on the bucket signature")
+  }
+
+  test("lshBuckets is a narrow projection (no shuffle, no self-join)") {
+    spark.catalog.clearCache()
+    val plan = operators.Ann.lshBuckets(
+      sources.Tables.embeddings(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("HashAggregate"),
+      "signature computation must not aggregate or join")
+  }
+
   test("whole-stage codegen covers the extraction path (no UDF breaks)") {
     val plan = Pipeline.mentions(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("*(1)"), "extraction should sit in codegen stage 1")
