@@ -134,6 +134,11 @@ object SparkEntry {
     // §2.3 J11 family sex-consistency placeholder (writers_sex.csv analog)
     "kg_family_placeholder" -> ((s, d) =>
       operators.Extras.familyPlaceholder(s, d, Pipeline.linked(s, d))),
+    // §2.1 K4 quad export: subject-centric named graphs (huvizQuads analog)
+    "kg_quads" -> ((s, d) => io.Quads.export(Pipeline.triples(s, d))),
+    // §2.8 F15 real %-encoding in minted agent URIs (modsBib.py:960-961)
+    "kg_agent_uris" -> ((s, d) =>
+      operators.Extras.agentUris(Pipeline.mentions(s, d))),
     // direct n-gram Jaccard on the known near-dup pairs (no LSH)
     "doc_jaccard_pairs" -> ((s, d) => {
       val c = operators.Dedup.corpus(sources.Tables.documents(s, d))

@@ -154,6 +154,19 @@ object Extras {
           .otherwise(col("obj_value")).as("member_uri"))
   }
 
+  /** F15 — real percent-encoding for minted agent URIs
+    * (`Mods/modsBib.py:960-961`, AGENTS minting `modsBib.py:998-1009`):
+    * person/org surface forms become url-encoded agent URIs. Uses the
+    * codegen'd built-in `url_encode`; the oracle mirrors it with explicit
+    * replaces valid for the surface domain (whose only reserved char
+    * is '#'). */
+  def agentUris(mentions: DataFrame): DataFrame =
+    mentions.filter(col("kind").isin("person", "org"))
+      .select(col("surface")).distinct()
+      .select(col("surface"),
+        concat(lit(Ns.kg + "agent/"), expr("url_encode(surface)"))
+          .as("agent_uri"))
+
   /** O2 — deterministic sample selection (`Utils/utilities.py:660-671`
     * first/last/random-N, made reproducible): every 10th conversation by
     * conv number (content-derived, partition-order-free). */

@@ -48,18 +48,32 @@ object TextOps {
       (size(words).between(20, 90) && stopHits >= 1).cast("int").as("keep"))
   }
 
-  /** Language-ID heuristic: count hits against per-language marker lists
-    * (n-gram/stopword style). The synthetic corpus is English-shaped, so
-    * markers for other languages come from the declared `lang` column's
-    * domain — the heuristic's value here is its determinism, not its
-    * accuracy. Output keeps the evidence counts. */
+  /** Per-language stopword marker lists (fastText/langdetect-style
+    * evidence, stopword flavor). Overlaps (la, de, es…) are fine — the
+    * argmax with a fixed priority tie-break keeps it deterministic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "in", "to", "is"),
+    "fr" -> Seq("le", "la", "les", "des", "et", "une", "est"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "es" -> Seq("el", "los", "las", "que", "y", "es", "una"))
+
+  /** Language-ID: per-language stopword hit counts → argmax, ties broken by
+    * the fixed language order above; zero evidence falls back to the
+    * declared lang column. Output keeps the per-language evidence counts.
+    * A real model slots into the same shape (counts → scores). */
   def langId(docs: DataFrame): DataFrame = {
     val words = split(col("text"), " ")
-    val enHits = size(filter(words, w => w.isin("the", "a", "of")))
+    val hitCols = langMarkers.map { case (l, ms) =>
+      l -> size(filter(words, w => w.isin(ms: _*)))
+    }
+    val best = greatest(hitCols.map(_._2): _*)
+    val pred = hitCols.foldRight(col("lang")) { case ((l, h), els) =>
+      when(h === best, lit(l)).otherwise(els)
+    }
     docs.select(
-      col("doc_id"), col("lang").as("declared_lang"),
-      enHits.as("en_hits"),
-      when(enHits >= 1, "en").otherwise(col("lang")).as("pred_lang"))
+      Seq(col("doc_id"), col("lang").as("declared_lang")) ++
+        hitCols.map { case (l, h) => h.as(s"${l}_hits") } :+
+        when(best === 0, col("lang")).otherwise(pred).as("pred_lang"): _*)
   }
 
   /** Document fingerprints: md5 of the whitespace-normalized text (exact

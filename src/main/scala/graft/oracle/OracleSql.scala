@@ -264,6 +264,17 @@ canon AS (SELECT n AS node, min(m) AS canon FROM reach GROUP BY n)
       (BASE + "SELECT * FROM all_triples"),
     "kg_activities" ->
       (BASE + s"SELECT * FROM all_triples WHERE subj LIKE '${Ns.act}%'"),
+    "kg_quads" ->
+      (BASE + s"""SELECT
+  CASE WHEN regexp_extract(subj, '(conv_[0-9]+)', 1) <> ''
+       THEN '${Ns.conv}' || regexp_extract(subj, '(conv_[0-9]+)', 1)
+       ELSE '${Ns.kg}graph/uber' END AS graph,
+  subj, pred, obj_value, obj_is_iri, obj_lang, obj_dtype
+FROM all_triples"""),
+    "kg_agent_uris" ->
+      (BASE + s"""SELECT DISTINCT surface,
+  '${Ns.kg}agent/' || replace(surface, '#', '%23') AS agent_uri
+FROM men WHERE kind IN ('person','org')"""),
     "kg_sameas_clusters" ->
       (BASE + CLOSURE_CTES + "SELECT node, canon FROM canon"),
     "kg_triples_canon" ->
@@ -544,14 +555,24 @@ SELECT doc_id, len(w) AS n_tokens, stop_hits,
   CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS diversity,
   CAST(len(w) BETWEEN 20 AND 90 AND stop_hits >= 1 AS INT) AS keep
 FROM q""",
-    "doc_langid" -> """
+    "doc_langid" -> {
+      val markers = graft.operators.TextOps.langMarkers
+      val hitExprs = markers.map { case (l, ms) =>
+        s"len(list_filter(string_split(text, ' '), x -> x IN (${ms.map(m => s"'$m'").mkString(",")}))) AS ${l}_hits"
+      }.mkString(",\n    ")
+      val gr = s"greatest(${markers.map(_._1 + "_hits").mkString(",")})"
+      val predCases = markers.init.map { case (l, _) =>
+        s"WHEN ${l}_hits = $gr THEN '$l'"
+      }.mkString(" ")
+      s"""
 WITH q AS (
   SELECT doc_id, lang,
-    len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of'))) AS en_hits
+    $hitExprs
   FROM documents)
-SELECT doc_id, lang AS declared_lang, en_hits,
-  CASE WHEN en_hits >= 1 THEN 'en' ELSE lang END AS pred_lang
-FROM q""",
+SELECT doc_id, lang AS declared_lang, ${markers.map(_._1 + "_hits").mkString(", ")},
+  CASE WHEN $gr = 0 THEN lang $predCases ELSE '${markers.last._1}' END AS pred_lang
+FROM q"""
+    },
     "doc_fingerprint" -> """
 WITH sh5 AS (
   SELECT DISTINCT doc_id,
