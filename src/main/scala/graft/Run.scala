@@ -40,9 +40,10 @@ object Run {
     val linked = m.stage("linked") {
       Link.linkAll(spark, sfDir, Mentions.extract(transcripts))
     }
-    val triples = m.stage("triples") {
-      // bucket column = hash(subj) — the Iceberg bucket(subj) analog, so
-      // downstream per-entity reads prune partitions
+    val triples = m.stage("triples", partitionCols = Seq("bucket")) {
+      // bucket = hash(subj) — the Iceberg bucket(subj) analog, written as a
+      // DIRECTORY partition (K1: the per-entity sink) so per-entity reads
+      // prune to one bucket directory instead of scanning the uber table
       Emit.allTriples(spark, sfDir, transcripts, linked)
         .withColumn("bucket", pmod(xxhash64(col("subj")), lit(16)))
     }

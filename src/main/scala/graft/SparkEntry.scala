@@ -136,6 +136,8 @@ object SparkEntry {
       operators.Extras.familyPlaceholder(s, d, Pipeline.linked(s, d))),
     // §2.1 K4 quad export: subject-centric named graphs (huvizQuads analog)
     "kg_quads" -> ((s, d) => io.Quads.export(Pipeline.triples(s, d))),
+    // §2.1 K2 JSON-LD-lines export (one sorted node object per subject)
+    "kg_jsonld_lines" -> ((s, d) => io.JsonLd.export(Pipeline.triples(s, d))),
     // §2.8 F15 real %-encoding in minted agent URIs (modsBib.py:960-961)
     "kg_agent_uris" -> ((s, d) =>
       operators.Extras.agentUris(Pipeline.mentions(s, d))),

@@ -40,8 +40,11 @@ class RunManifest(spark: SparkSession, out: String, resume: Boolean) {
     Files.writeString(manifestPath, s + "\n",
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
 
-  /** Materialize `df` as stage `name` (or reuse it when resuming). */
-  def stage(name: String)(df: => DataFrame): DataFrame = {
+  /** Materialize `df` as stage `name` (or reuse it when resuming).
+    * `partitionCols` adds a directory-partitioned layout (the Iceberg
+    * bucket(...) analog) so per-entity reads prune. */
+  def stage(name: String, partitionCols: Seq[String] = Nil)
+           (df: => DataFrame): DataFrame = {
     val dir = s"$out/$name"
     if (resume && doneStages.contains(name) && Files.exists(Paths.get(dir))) {
       appendLine(s"""{"stage":"$name","status":"skipped_resume"}""")
@@ -49,11 +52,16 @@ class RunManifest(spark: SparkSession, out: String, resume: Boolean) {
     }
     val t0 = System.nanoTime()
     val d = df
-    d.write.mode("overwrite").parquet(dir)
+    val w = d.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(dir)
     val written = spark.read.parquet(dir)
-    // per-partition lineage — ONE scan of the materialized stage yields the
-    // per-partition counts; totals derive from them (no second count scan)
-    val lineage = written.groupBy(spark_partition_id().as("partition_id"))
+    // per-partition lineage: ONE scan of the materialized stage, attributed
+    // to the FILES the write tasks committed (input_file_name) — true
+    // write-side lineage, independent of how the re-read happens to split
+    val lineage = written
+      .groupBy(regexp_extract(input_file_name(), "part-([0-9]+)", 1)
+        .cast("int").as("partition_id"))
       .agg(count(lit(1)).as("rows"))
       .collect()
     import spark.implicits._

@@ -275,6 +275,19 @@ FROM all_triples"""),
       (BASE + s"""SELECT DISTINCT surface,
   '${Ns.kg}agent/' || replace(surface, '#', '%23') AS agent_uri
 FROM men WHERE kind IN ('person','org')"""),
+    "kg_jsonld_lines" ->
+      (BASE + """, objs AS (
+  SELECT subj, pred,
+    CASE WHEN obj_is_iri THEN '{"@id":"' || obj_value || '"}'
+         WHEN obj_lang <> '' THEN '{"@value":"' || obj_value || '","@language":"' || obj_lang || '"}'
+         WHEN obj_dtype <> '' THEN '{"@value":"' || obj_value || '","@type":"' || obj_dtype || '"}'
+         ELSE '{"@value":"' || obj_value || '"}' END AS o
+  FROM all_triples),
+per_pred AS (
+  SELECT subj, '"' || pred || '":[' || string_agg(o, ',' ORDER BY o) || ']' AS entry
+  FROM objs GROUP BY subj, pred)
+SELECT '{"@id":"' || subj || '",' || string_agg(entry, ',' ORDER BY entry) || '}' AS line
+FROM per_pred GROUP BY subj"""),
     "kg_sameas_clusters" ->
       (BASE + CLOSURE_CTES + "SELECT node, canon FROM canon"),
     "kg_triples_canon" ->
