@@ -96,6 +96,10 @@ object SparkEntry {
       s, streaming.StreamOps.mentionStream(s, d), "stream_mentions_tbl", "append")),
     "stream_hourly" -> ((s, d) => streaming.StreamOps.runToBatch(
       s, streaming.StreamOps.hourlyStream(s, d), "stream_hourly_tbl", "complete")),
+    // stateful streaming: flatMapGroupsWithState gap sessionization with
+    // event-time timeouts — emits every session the watermark has closed
+    "stream_sessions" -> ((s, d) => streaming.StreamOps.runToBatch(
+      s, streaming.StreamOps.sessionStream(s, d), "stream_sessions_tbl", "append")),
     // §2.3 J3 retry-chain linking (primary → secondary dict → literal)
     "kg_retry_chain" -> ((s, d) =>
       operators.Extras.retryChainLink(s, Pipeline.mentions(s, d))),

@@ -86,9 +86,10 @@ object Ns {
   val endOfEnd         = pred + "endOfTheEnd"        // crm:P82b
   val hasCertainty     = pred + "hasCertainty"
   // Bibliography two-phase shape (Mods/modsBib.py)
-  val tWork      = kg + "type/Work"
-  val hasGenre   = pred + "hasGenre"
-  val authoredBy = pred + "authoredBy"
+  val tWork       = kg + "type/Work"
+  val hasGenre    = pred + "hasGenre"
+  val authoredBy  = pred + "authoredBy"
+  val relatedWork = pred + "relatedWork"
 
   val xsdString   = "http://www.w3.org/2001/XMLSchema#string"
   val xsdDate     = "http://www.w3.org/2001/XMLSchema#date"

@@ -56,6 +56,18 @@ object Works {
       .select(col("subj"), col("pred"),
         concat(lit(Ns.genre), col("g")).as("obj_value"),
         lit(true).as("obj_is_iri"), lit("").as("obj_lang"), lit("").as("obj_dtype"))
-    typed.unionAll(author).unionAll(genres)
+    // relatedItems (one level of `modsBib.py:1110-1134`'s recursive related
+    // records): each work relates to the author's previous work — a window
+    // over the second fact table, deterministic (custkey, orderkey) order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    val related = orders
+      .select(col("o_custkey"), col("o_orderkey"), workUri.as("work_uri"))
+      .withColumn("prev", lag(col("o_orderkey"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("work_uri").as("subj"), lit(Ns.relatedWork).as("pred"),
+        concat(lit(Ns.work), col("prev").cast("string")).as("obj_value"),
+        lit(true).as("obj_is_iri"), lit("").as("obj_lang"), lit("").as("obj_dtype"))
+    typed.unionAll(author).unionAll(genres).unionAll(related)
   }
 }

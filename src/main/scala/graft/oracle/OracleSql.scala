@@ -430,7 +430,14 @@ SELECT '${Ns.work}' || CAST(o.o_orderkey AS VARCHAR), '${Ns.hasGenre}',
        '${Ns.genre}' || g.genre, TRUE, '', ''
 FROM orders o
 JOIN (SELECT o_orderkey, unnest(genres) AS genre FROM gmap) g
-  ON g.o_orderkey = o.o_orderkey""",
+  ON g.o_orderkey = o.o_orderkey
+UNION ALL
+SELECT '${Ns.work}' || CAST(o_orderkey AS VARCHAR), '${Ns.relatedWork}',
+       '${Ns.work}' || CAST(prev AS VARCHAR), TRUE, '', ''
+FROM (SELECT o_orderkey,
+             lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev
+      FROM orders)
+WHERE prev IS NOT NULL""",
     "kg_family_placeholder" ->
       (BASE + s"""SELECT l.conv_id, l.turn_idx, l.midx,
   CASE WHEN l.turn_idx % 2 = 0 THEN 'mother' ELSE 'father' END AS relation,
@@ -711,5 +718,26 @@ FROM events GROUP BY 1, 2""")
     "stream_hourly" -> """
 SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
-FROM events GROUP BY 1, 2""")
+FROM events GROUP BY 1, 2""",
+    // Closed sessions only: the stream's event-time timeout fires when the
+    // ms-domain watermark (max event time) strictly exceeds end + 30 min —
+    // the predicate is stated here in the same ms domain.
+    "stream_sessions" -> """
+WITH s1 AS (
+  SELECT *, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events),
+s2 AS (SELECT *, CASE WHEN prev_us IS NULL THEN 1
+                      WHEN us - prev_us > 30*60*1000000 THEN 1 ELSE 0 END AS new_s FROM s1),
+s3 AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sess_idx FROM s2),
+sess AS (
+  SELECT user_id,
+    CAST(user_id AS VARCHAR) || '_' || CAST(sess_idx AS VARCHAR) AS session_id,
+    count(*) AS n_events, min(ts) AS start_ts, max(ts) AS end_ts,
+    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+  FROM s3 GROUP BY user_id, session_id)
+SELECT * FROM sess
+WHERE (epoch_us(end_ts) // 1000) + 30*60*1000
+      < (SELECT epoch_us(max(ts)) // 1000 FROM events)""")
 }

@@ -4,7 +4,18 @@ import graft.operators.Mentions
 import graft.sources.SynthTranscripts
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Event row shape entering the stateful sessionizer. */
+final case class SessEvent(user_id: Long, event_id: Long,
+                           ts_utc: java.sql.Timestamp, us: Long, cents: Long)
+/** Per-user open-session state carried across micro-batches. */
+final case class SessAgg(sessIdx: Long, startUs: Long, endUs: Long,
+                         n: Long, cents: Long)
+/** One CLOSED session (same shape as the batch sessionizer's output). */
+final case class SessionRow(user_id: Long, session_id: String, n_events: Long,
+                            start_ts: java.sql.Timestamp,
+                            end_ts: java.sql.Timestamp, value_cents: Long)
 
 /** Structured Streaming lift of the per-turn extraction path. The batch
   * extraction (SynthTranscripts.project → Mentions.extract) is stateless
@@ -41,6 +52,75 @@ object StreamOps {
     * the streaming twin of operators.Sessions.hourlyAgg. */
   def hourlyStream(spark: SparkSession, dir: String): DataFrame =
     SynthTranscriptsFree.hourly(eventStream(spark, dir))
+
+  private val GapUs = 30L * 60 * 1000000
+  private def mkTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp((us / 1000000) * 1000)
+    t.setNanos(((us % 1000000) * 1000).toInt)
+    t
+  }
+
+  /** The flatMapGroupsWithState kernel: custom cross-batch session state
+    * per user (§2.9/2.10 of the builder mandate). Batch events arrive
+    * unordered within the group → sorted by (us, event_id) — the same total
+    * order the batch sessionizer's lag window uses. Gap rule mirrors
+    * operators.Sessions: a new session when us - prev_us > 30 min
+    * (strictly). Sessions closed by an observed gap emit immediately
+    * (Append mode); each user's LAST session closes via EVENT-TIME TIMEOUT
+    * once the watermark passes end + 30 min — so the streaming query emits
+    * exactly the sessions the batch twin would consider closed at
+    * watermark time (the stream_sessions oracle states that predicate).
+    * Session indexes stay monotone because an event arriving after its
+    * predecessor session timed out would be behind the watermark (late)
+    * and can't reopen the group. */
+  private def sessionizeGroup(user: Long, it: Iterator[SessEvent],
+                              state: GroupState[SessAgg]): Iterator[SessionRow] = {
+    def rowOf(s: SessAgg) = SessionRow(user, s"${user}_${s.sessIdx}", s.n,
+      mkTs(s.startUs), mkTs(s.endUs), s.cents)
+    if (!it.hasNext) {
+      if (state.hasTimedOut && state.exists) {
+        val r = rowOf(state.get); state.remove(); Iterator(r)
+      } else Iterator.empty
+    } else {
+      val sorted = it.toArray.sortBy(e => (e.us, e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
+      var st = state.getOption
+      sorted.foreach { e =>
+        st match {
+          case Some(s) if e.us - s.endUs <= GapUs =>
+            st = Some(s.copy(endUs = e.us, n = s.n + 1, cents = s.cents + e.cents))
+          case Some(s) =>
+            out += rowOf(s)
+            st = Some(SessAgg(s.sessIdx + 1, e.us, e.us, 1, e.cents))
+          case None =>
+            st = Some(SessAgg(1, e.us, e.us, 1, e.cents))
+        }
+      }
+      state.update(st.get)
+      // ms domain (watermark precision): fires when watermark_ms exceeds it
+      state.setTimeoutTimestamp(st.get.endUs / 1000 + 30L * 60 * 1000)
+      out.iterator
+    }
+  }
+
+  /** Streaming gap sessionization via flatMapGroupsWithState (event-time
+    * timeout) — emits closed sessions only; see sessionizeGroup. */
+  def sessionStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    eventStream(spark, dir)
+      .withColumn("ts_utc", col("ts").cast("timestamp"))
+      .withWatermark("ts_utc", "0 seconds")
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        col("ts_utc"), // the watermark attribute must survive the select
+        unix_micros(col("ts_utc")).as("us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(sessionizeGroup)
+      .toDF()
+  }
 
   /** Drain a stream fully into a memory sink and return the batch result.
     * Used by parity tests and the stream_* verification queries. */
