@@ -74,6 +74,7 @@ object Ns {
   val knowsPerson    = pred + "knowsPerson"
   val memberOf       = pred + "memberOf"
   val hasOccupation  = pred + "hasOccupation"
+  val hasEducation   = pred + "hasEducation"
   val tPerson        = kg + "type/Conversation"
   val tContext       = kg + "type/Context"
   // Activity/time-span vocabulary (analog of crm:E7_Activity /

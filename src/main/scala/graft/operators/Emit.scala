@@ -24,7 +24,8 @@ object Emit {
     "place_left" -> Ns.leftPlace,
     "person"     -> Ns.knowsPerson,
     "org"        -> Ns.memberOf,
-    "occupation" -> Ns.hasOccupation)
+    "occupation" -> Ns.hasOccupation,
+    "education"  -> Ns.hasEducation)
 
   private def convUri = concat(lit(Ns.conv), col("conv_id"))
 
@@ -124,7 +125,8 @@ object Emit {
   /** Kinds that carry an event character → Activity nodes (the reference's
     * location/occupation extractor families emit crm Activities; person/org
     * mentions stay direct relations, `Utils/activity.py:370-526`). */
-  val activityKinds: Seq[String] = Seq("place", "place_left", "occupation")
+  val activityKinds: Seq[String] =
+    Seq("place", "place_left", "occupation", "education")
 
   /** Activity + time-span emission with TYPED, never-normalized partial
     * date literals (`Utils/activity.py:370-526`, `Utils/event.py:90-110`):

@@ -24,7 +24,8 @@ object Mentions {
     "place_left" -> "leaving (Nation_[0-9]+)",
     "person"     -> "met (Customer#[0-9]{9})",
     "org"        -> "at (Supplier#[0-9]{9})",
-    "occupation" -> "working as ([A-Za-z-]+)")
+    "occupation" -> "working as ([A-Za-z-]+)",
+    "education"  -> "studied at (Academy_[0-9]+)")
 
   /** transcripts(conv_id, turn_idx, role, text, tool, ts)
     * → mentions(conv_id, turn_idx, kind, midx, surface, text, ts).

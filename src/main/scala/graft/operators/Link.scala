@@ -44,7 +44,10 @@ object Link {
     val occs = Dicts.occupations(spark).select(
       lit("occupation").as("kind"), col("key"),
       col("term").as("d_term"), col("is_iri").as("d_is_iri"))
-    places.unionAll(people).unionAll(orgs).unionAll(occs)
+    val edus = Dicts.educations(spark).select(
+      lit("education").as("kind"), col("key"),
+      col("uri").as("d_term"), lit(true).as("d_is_iri"))
+    places.unionAll(people).unionAll(orgs).unionAll(occs).unionAll(edus)
   }
 
   /** Unified linked-mention schema:
@@ -79,13 +82,18 @@ object Link {
           .when(col("kind") === "org",
             coalesce(col("d_term"),
               concat(Fns.mintUri(Ns.org, col("surface")), lit("_ORG"))))
+          // education: authority IRI | deterministic skolem IRI (the
+          // reference's education BNodes, skolemized per SURVEY §7.4-3)
+          .when(col("kind") === "education",
+            coalesce(col("d_term"),
+              Fns.mintUri(Ns.kg + "edu/skolem/", col("surface"))))
           // occupation: IRI | ISO literal | fallback literal
           .when(matchedIri, col("d_term"))
           .when(col("d_term").isNotNull, concat(lit("ISO-3166-2:"), col("d_term")))
           .otherwise(col("surface"))
           .as("obj_value"),
         when(isPlace, col("d_term").isNotNull)
-          .when(col("kind").isin("person", "org"), lit(true))
+          .when(col("kind").isin("person", "org", "education"), lit(true))
           .otherwise(matchedIri).as("obj_is_iri"),
         lit("").as("obj_lang"),
         when(col("kind") === "occupation" && !matchedIri, lit(Ns.xsdString))

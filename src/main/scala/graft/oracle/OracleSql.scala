@@ -23,6 +23,11 @@ object OracleSql {
     .flatMap { case (rid, term, alts) => alts.map(a => s"($rid,'$term','$a')") }
     .mkString(",")
 
+  /** education authority rows as a VALUES table. */
+  private val eduDictValues = Dicts.educationRows
+    .flatMap { case (rid, term, alts) => alts.map(a => s"($rid,'$term','$a')") }
+    .mkString(",")
+
   /** clean_term simple variant (lower, -→space, strip, remove spaces). */
   def cleanSimple(e: String): String =
     s"replace(trim(replace(lower($e),'-',' ')),' ','')"
@@ -64,6 +69,7 @@ tr AS (
            || CASE WHEN e.event_id % 11 = 0 THEN ' and also met Customer#' || lpad(CAST((e.event_id * 13) % 200 AS VARCHAR), 9, '0') ELSE '' END
            || CASE WHEN e.event_id % 9 = 0 THEN ' then visited Nation_' || CAST((e.event_id + 17) % 31 AS VARCHAR) ELSE '' END
            || CASE WHEN e.event_id % 10 = 0 THEN ' later working as ' || o2.w ELSE '' END
+           || CASE WHEN e.event_id % 8 = 0 THEN ' studied at Academy_' || CAST((e.event_id * 3) % 40 AS VARCHAR) ELSE '' END
            || '.'
            || CASE WHEN e.event_id % 6 = 0 THEN '${SynthTranscripts.fillerSentence}' ELSE '' END AS text,
          CASE WHEN e.event_type = 'error' THEN 'tool_' || CAST(e.event_id % 5 AS VARCHAR) ELSE '' END AS tool,
@@ -80,6 +86,7 @@ men AS (
       UNION ALL SELECT conv_id, turn_idx, 'person', regexp_extract_all(text, 'met (Customer#[0-9]{9})', 1), text, ts FROM tr
       UNION ALL SELECT conv_id, turn_idx, 'org', regexp_extract_all(text, 'at (Supplier#[0-9]{9})', 1), text, ts FROM tr
       UNION ALL SELECT conv_id, turn_idx, 'occupation', regexp_extract_all(text, 'working as ([A-Za-z-]+)', 1), text, ts FROM tr
+      UNION ALL SELECT conv_id, turn_idx, 'education', regexp_extract_all(text, 'studied at (Academy_[0-9]+)', 1), text, ts FROM tr
     )
   )
 ),
@@ -96,6 +103,11 @@ people_dict AS (
   FROM customer
 ),
 org_dict AS (SELECT lower(s_name) AS key, '${Ns.org}' || CAST(s_suppkey AS VARCHAR) AS uri FROM supplier),
+edu_dict_raw(row_id, term, alt) AS (VALUES $eduDictValues),
+edu_dict AS (
+  SELECT lower(alt) AS key, min_by(term, row_id) AS uri
+  FROM edu_dict_raw GROUP BY 1
+),
 occ_dict_raw(row_id, term, alt) AS (VALUES $occDictValues),
 occ_dict AS (
   SELECT ${stem("alt")} AS key, min_by(term, row_id) AS term
@@ -133,6 +145,13 @@ linked AS (
          CASE WHEN COALESCE(d.term LIKE 'http%', FALSE) THEN '' ELSE '${Ns.xsdString}' END
   FROM men m LEFT JOIN occ_dict d ON ${stem("m.surface")} = d.key
   WHERE m.kind = 'occupation'
+  UNION ALL
+  SELECT m.conv_id, m.turn_idx, m.kind, m.midx, m.surface, m.text, m.ts,
+         d.uri IS NOT NULL,
+         COALESCE(d.uri, '${Ns.kg}edu/skolem/' || replace(m.surface, '_', '')),
+         TRUE, '', ''
+  FROM men m LEFT JOIN edu_dict d ON lower(m.surface) = d.key
+  WHERE m.kind = 'education'
 ),
 emitting AS (
   SELECT * FROM linked WHERE kind NOT IN ('place','place_left') OR matched
@@ -155,7 +174,7 @@ act AS (
     CASE WHEN turn_idx % 5 = 0 THEN 'highCertainty'
          WHEN turn_idx % 5 IN (1, 2) THEN 'mediumCertainty'
          ELSE 'lowCertainty' END AS cert
-  FROM ctx WHERE kind IN ('place','place_left','occupation')
+  FROM ctx WHERE kind IN ('place','place_left','occupation','education')
 ),
 all_triples_raw AS (
   SELECT DISTINCT '${Ns.conv}' || conv_id AS subj, '${Ns.rdfType}' AS pred,
@@ -166,6 +185,7 @@ all_triples_raw AS (
   SELECT '${Ns.conv}' || conv_id,
          CASE kind WHEN 'place' THEN '${Ns.mentionsPlace}' WHEN 'place_left' THEN '${Ns.leftPlace}'
               WHEN 'person' THEN '${Ns.knowsPerson}' WHEN 'org' THEN '${Ns.memberOf}'
+              WHEN 'education' THEN '${Ns.hasEducation}'
               ELSE '${Ns.hasOccupation}' END,
          obj_value, obj_is_iri, obj_lang, obj_dtype
   FROM emitting

@@ -46,6 +46,24 @@ object Dicts {
     (0, Ns.kg + "pa/shadow-cabinet", Seq("zorbulator"))
   )
 
+  /** Education authority rows — EDU_MAP analog
+    * (`Biography/education.py:459-472`): even-numbered academies carry
+    * LINCS-style authority URIs; odd ones miss and get skolemized
+    * (the reference's education BNodes, `education.py:173`). */
+  val educationRows: Seq[(Int, String, Seq[String])] =
+    (0 until 40 by 2).map(k => (k / 2, s"${Ns.kg}edu/auth/$k", Seq(s"Academy_$k")))
+
+  /** Education dictionary: (key, uri), lowercase keys, first-row-wins. */
+  def educations(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val raw = educationRows
+      .flatMap { case (rid, term, alts) => alts.map(a => (rid, term, a)) }
+      .toDF("row_id", "term", "alt")
+    raw.select(lower(col("alt")).as("key"), col("term"), col("row_id"))
+      .groupBy("key")
+      .agg(min_by(col("term"), col("row_id")).as("uri"))
+  }
+
   /** The retry-chain fallback dictionary, normalized like occupations. */
   def politicalAffiliations(spark: SparkSession): DataFrame = {
     import spark.implicits._

@@ -78,6 +78,9 @@ object SynthTranscripts {
       when(eid % 10 === 0,
         concat(lit(" later working as "), occ2)
       ).otherwise(lit("")),
+      when(eid % 8 === 0,
+        concat(lit(" studied at Academy_"), ((eid * 3) % 40).cast("string"))
+      ).otherwise(lit("")),
       lit("."),
       when(eid % 6 === 0, lit(fillerSentence)).otherwise(lit("")))
     val role = when(col("event_type") === "purchase", "user")

@@ -24,7 +24,9 @@ class GoldenTripleSpec extends SparkSpec {
       // multi-mention turn (find_all parity): 2 places, 2 persons, 2 occupations
       (conv, 3, "user", t3, "", Timestamp.valueOf("2024-01-01 10:03:00")),
       // two-sentence turn whose first sentence exceeds the snippet budget
-      (conv, 4, "user", t4, "", Timestamp.valueOf("2024-01-01 10:04:00"))
+      (conv, 4, "user", t4, "", Timestamp.valueOf("2024-01-01 10:04:00")),
+      // education family: one authority hit (even academy), one skolem miss
+      (conv, 5, "user", t5, "", Timestamp.valueOf("2024-01-01 10:05:00"))
     ).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
   }
 
@@ -69,6 +71,7 @@ class GoldenTripleSpec extends SparkSpec {
   // drops the filler sentence (F6/F7, utilities.py:266-281 + context.py:277)
   private val t4snip = "I met Customer#000000199 working as floozle one two three four" +
     " five six seven eight."
+  private val t5 = "Then I studied at Academy_2 and later studied at Academy_7."
   private val dt3 = "2024-01-01 10:03:00"           // turn 3's full-precision ts
   private val d0 = "2024-01-01 00:00:00"
   private val dYearEnd = "2024-12-31 23:59:59"
@@ -93,6 +96,8 @@ class GoldenTripleSpec extends SparkSpec {
     iri(cu, Ns.hasOccupation, Ns.occ + "singer"),
     iri(cu, Ns.hasOccupation, Ns.occ + "weaver"),
     litStr(cu, Ns.hasOccupation, "floozle"),
+    iri(cu, Ns.hasEducation, Ns.kg + "edu/auth/2"),       // authority hit
+    iri(cu, Ns.hasEducation, Ns.kg + "edu/skolem/Academy7"), // skolemized BNode
     // W3: Nation_3 (left at t1) is visited at t0/t3 → anti-joined out;
     // Nation_4 (left at t2) is never visited → spatialRelationship survives
     iri(cu, Ns.spatialRel, Ns.place + "4"),
@@ -118,6 +123,8 @@ class GoldenTripleSpec extends SparkSpec {
     ++ ctxTriples("occupation", 4, 3, t3)  // singer
     ++ ctxTriples("occupation", 5, 3, t3)  // weaver
     ++ ctxTriples("occupation", 6, 4, t4snip)
+    ++ ctxTriples("education", 1, 5, t5)   // t5 midx 0 (Academy_2)
+    ++ ctxTriples("education", 2, 5, t5)   // t5 midx 1 (Academy_7)
     // activities (place/place_left/occupation only): precision cycles with
     // turn%4 (0→gYear 1→gYearMonth 2→date 3→dateTime), certainty with turn%5
     ++ actTriples("place", 1, "2024", Ns.xsdGYear, d0, dYearEnd, "highCertainty")
@@ -130,7 +137,10 @@ class GoldenTripleSpec extends SparkSpec {
     ++ actTriples("occupation", 3, "2024-01-01", Ns.xsdDate, d0, dDayEnd, "mediumCertainty")
     ++ actTriples("occupation", 4, dt3, Ns.xsdDateTime, dt3, dt3, "lowCertainty")
     ++ actTriples("occupation", 5, dt3, Ns.xsdDateTime, dt3, dt3, "lowCertainty")
-    ++ actTriples("occupation", 6, "2024", Ns.xsdGYear, d0, dYearEnd, "lowCertainty")).toSet
+    ++ actTriples("occupation", 6, "2024", Ns.xsdGYear, d0, dYearEnd, "lowCertainty")
+    // turn 5: prec 5%4=1 → gYearMonth; cert 5%5=0 → high
+    ++ actTriples("education", 1, "2024-01", Ns.xsdGYearMon, d0, dMonEnd, "highCertainty")
+    ++ actTriples("education", 2, "2024-01", Ns.xsdGYearMon, d0, dMonEnd, "highCertainty")).toSet
 
   test("triple emission matches the hand-derived golden set exactly (P/R = 1.0)") {
     import spark.implicits._
@@ -141,7 +151,7 @@ class GoldenTripleSpec extends SparkSpec {
     val extra = got -- golden
     assert(missing.isEmpty, s"missing triples: ${missing.mkString("\n")}")
     assert(extra.isEmpty, s"unexpected triples: ${extra.mkString("\n")}")
-    assert(got.size == 158) // 70 facts+contexts + 88 activity triples
+    assert(got.size == 182) // facts + contexts + activities, education family included
   }
 
   test("canonicalization rewrites identities to the component min label") {
