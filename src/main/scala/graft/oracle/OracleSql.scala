@@ -99,7 +99,7 @@ people_dict AS (
   SELECT lower(c_name) AS key, '${Ns.person}' || CAST(c_custkey AS VARCHAR) AS uri,
          CAST(c_custkey AS BIGINT) AS custkey,
          '${Ns.viaf}' || CAST(c_custkey // 3 AS VARCHAR) AS viaf_uri,
-         CASE WHEN c_custkey % 2 = 0 THEN 'female' ELSE 'male' END AS gender
+         CASE WHEN (c_custkey // 2) % 2 = 0 THEN 'female' ELSE 'male' END AS gender
   FROM customer
 ),
 org_dict AS (SELECT lower(s_name) AS key, '${Ns.org}' || CAST(s_suppkey AS VARCHAR) AS uri FROM supplier),

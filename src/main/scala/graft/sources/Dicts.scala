@@ -111,7 +111,11 @@ object Dicts {
       concat(lit(Ns.person), col("c_custkey").cast("string")).as("uri"),
       col("c_custkey").cast("long").as("custkey"),
       concat(lit(Ns.viaf), expr("CAST(c_custkey DIV 3 AS STRING)")).as("viaf_uri"),
-      when(col("c_custkey") % 2 === 0, "female").otherwise("male").as("gender"))
+      // DIV 2 parity: decoupled from custkey parity, which the synthetic
+      // mention arithmetic always aligns with turn parity (a custkey%2
+      // gender would make relation/sex conflicts unreachable)
+      when(expr("c_custkey DIV 2") % 2 === 0, "female").otherwise("male")
+        .as("gender"))
 
   /** Orgs: supplier names → org URIs (`Utils/organizations.py:56-83`). */
   def orgs(spark: SparkSession, dir: String): DataFrame =
