@@ -25,6 +25,11 @@ object Plans {
     dump("ann_topk", operators.Ann.bruteForceTopK(sources.Tables.embeddings(spark, sfDir)))
     dump("doc_token_stats", operators.TextOps.tokenStats(
       sources.Tables.documents(spark, sfDir).select("doc_id", "text")))
+    dump("kg_works", operators.Works.workTriples(
+      sources.Tables.orders(spark, sfDir), sources.Tables.lineitem(spark, sfDir)))
+    dump("emb_neardup", operators.Ann.nearDupPairs(
+      sources.Tables.embeddings(spark, sfDir)))
+    dump("kg_ttl_lines", io.Turtle.export(Pipeline.triples(spark, sfDir)))
     spark.stop()
   }
 }
