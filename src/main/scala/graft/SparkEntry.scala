@@ -142,6 +142,8 @@ object SparkEntry {
     "kg_quads" -> ((s, d) => io.Quads.export(Pipeline.triples(s, d))),
     // §2.1 K2 JSON-LD-lines export (one sorted node object per subject)
     "kg_jsonld_lines" -> ((s, d) => io.JsonLd.export(Pipeline.triples(s, d))),
+    // §2.1 K2 RDF/XML-lines export (rdf:RDF envelope + one Description/subj)
+    "kg_rdfxml_lines" -> ((s, d) => io.RdfXml.export(Pipeline.triples(s, d))),
     // §2.8 F15 real %-encoding in minted agent URIs (modsBib.py:960-961)
     "kg_agent_uris" -> ((s, d) =>
       operators.Extras.agentUris(Pipeline.mentions(s, d))),

@@ -1,0 +1,50 @@
+package graft.io
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** RDF/XML text export (K2 — "pretty-xml" in the reference's format list,
+  * `Utils/utilities.py:807-808`), as a LINE format: the rdf:RDF open tag
+  * (carrying the xmlns table), one single-line rdf:Description per subject
+  * with deterministically sorted property children, and the closing tag.
+  * Predicates render as QNames via the shared prefix table (they all live
+  * in prefixable namespaces); subjects/objects stay absolute in
+  * rdf:about/rdf:resource, so no '/'-local-name issue arises.
+  *
+  * Scale: one groupBy(subject) shuffle, like the Turtle exporter.
+  */
+object RdfXml {
+
+  val openTag: String =
+    Turtle.prefixes.map { case (p, ns) => s"""xmlns:$p="$ns"""" }
+      .mkString("<rdf:RDF ", " ", ">")
+  val closeTag: String = "</rdf:RDF>"
+
+  private def escXml(c: org.apache.spark.sql.Column) =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;"), "\"", "&quot;")
+
+  def export(triples: DataFrame): DataFrame = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+    val q = Turtle.term(col("pred")) // QName (all predicates are prefixable)
+    val child = when(col("obj_is_iri"),
+      concat(lit("<"), q, lit(" rdf:resource=\""), escXml(col("obj_value")),
+        lit("\"/>")))
+      .when(col("obj_lang") =!= "",
+        concat(lit("<"), q, lit(" xml:lang=\""), col("obj_lang"), lit("\">"),
+          escXml(col("obj_value")), lit("</"), q, lit(">")))
+      .when(col("obj_dtype") =!= "",
+        concat(lit("<"), q, lit(" rdf:datatype=\""), escXml(col("obj_dtype")),
+          lit("\">"), escXml(col("obj_value")), lit("</"), q, lit(">")))
+      .otherwise(concat(lit("<"), q, lit(">"), escXml(col("obj_value")),
+        lit("</"), q, lit(">")))
+    val descriptions = triples
+      .select(col("subj"), child.as("c"))
+      .groupBy("subj")
+      .agg(array_join(array_sort(collect_list(col("c"))), "").as("cs"))
+      .select(concat(lit("<rdf:Description rdf:about=\""), escXml(col("subj")),
+        lit("\">"), col("cs"), lit("</rdf:Description>")).as("line"))
+    Seq(openTag, closeTag).toDF("line").unionAll(descriptions)
+  }
+}

@@ -308,6 +308,20 @@ per_pred AS (
   FROM objs GROUP BY subj, pred)
 SELECT '{"@id":"' || subj || '",' || string_agg(entry, ',' ORDER BY entry) || '}' AS line
 FROM per_pred GROUP BY subj"""),
+    "kg_rdfxml_lines" -> {
+      val q = graft.io.Turtle.termSql("pred")
+      (BASE + s""", kids AS (
+  SELECT subj,
+    CASE WHEN obj_is_iri THEN '<' || $q || ' rdf:resource="' || obj_value || '"/>'
+         WHEN obj_lang <> '' THEN '<' || $q || ' xml:lang="' || obj_lang || '">' || obj_value || '</' || $q || '>'
+         WHEN obj_dtype <> '' THEN '<' || $q || ' rdf:datatype="' || obj_dtype || '">' || obj_value || '</' || $q || '>'
+         ELSE '<' || $q || '>' || obj_value || '</' || $q || '>' END AS c
+  FROM all_triples)
+SELECT line FROM (VALUES ('${graft.io.RdfXml.openTag.replace("'", "''")}'), ('${graft.io.RdfXml.closeTag}')) h(line)
+UNION ALL
+SELECT '<rdf:Description rdf:about="' || subj || '">' || string_agg(c, '' ORDER BY c) || '</rdf:Description>'
+FROM kids GROUP BY subj""")
+    },
     "kg_sameas_clusters" ->
       (BASE + CLOSURE_CTES + "SELECT node, canon FROM canon"),
     "kg_triples_canon" ->

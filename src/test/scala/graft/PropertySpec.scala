@@ -61,6 +61,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  /** Direct port of utilities.py:266-281 (the fold inside
+    * Fns.limitToFullSentences) + the context.py:277-281 replace chain. */
+  private def ltfsRef(s0: String, mx: Int): String = {
+    val s = s0.trim
+    if (s.isEmpty) return s
+    var acc = ""
+    for (x <- s.split("\\.", -1)) {
+      val cand = acc + x.trim
+      val withDot = if (cand.endsWith(".")) cand else cand + "."
+      if (acc.split(" ", -1).length - 1 < mx) acc = withDot
+    }
+    acc.replaceAll("\\.  \\.", ". ")
+  }
+  private def snippetRef(s: String): String =
+    ltfsRef(s, Fns.SnippetMaxWords)
+      .replace("\n", " ").replace(".", ". ").replace("  ", " ").trim
+
+  test("snippet chain ≡ python port on 200 random multi-sentence texts") {
+    def sent() = Seq.fill(1 + rnd.nextInt(18))(word()).mkString(" ")
+    val cases = Seq.fill(200) {
+      val n = 1 + rnd.nextInt(4)
+      Seq.fill(n)(sent()).mkString(".", ". ", ".")
+        .drop(1) + (if (rnd.nextBoolean()) "\nextra line" else "")
+    }
+    val got = cases.toDF("s")
+      .select(col("s"), Fns.snippet(col("s"))).as[(String, String)].collect()
+    got.foreach { case (s, out) =>
+      assert(out == snippetRef(s), s"snippet(${s.take(80)}...)")
+    }
+  }
+
   test("union-distinct is commutative and idempotent on random triple sets") {
     val t = Pipeline.triples(spark, sfDir).limit(500)
     val a = t.sample(withReplacement = true, 0.5, seed = 1)
