@@ -46,12 +46,15 @@ object Fns {
     */
   /** Accent-fold pairs, built pairwise so from/to can never misalign. */
   private val foldPairs: Seq[(Char, Char)] =
-    "ÃA ÀA ÁA ÂA ÄA àa áa âa äa ÈE ÉE ÊE ËE èe ée êe ëe ÌI ÍI ÎI ÏI ìi íi îi ïi ÒO ÓO ÔO ÖO òo óo ôo öo ÙU ÚU ÛU ÜU ùu úu ûu üu ÑN ñn ÇC çc"
+    ("ÃA ÀA ÁA ÂA ÄA àa áa âa äa ÈE ÉE ÊE ËE èe ée êe ëe ÌI ÍI ÎI ÏI ìi íi îi ïi " +
+     "ÒO ÓO ÔO ÖO òo óo ôo öo ÙU ÚU ÛU ÜU ùu úu ûu üu ÑN ñn ÇC çc ØO øo ÅA åa ÝY ýy ÿy")
       .split(" ").toSeq.map(p => (p(0), p(1)))
 
   def removePunctuation(c: Column): Column = {
-    // "¾"→"3-4" needs a multi-char replacement, do it before translate:
-    val pre = regexp_replace(regexp_replace(c, "¾", "3-4"), "©", "c")
+    // multi-char folds (unidecode ligature behavior) before translate:
+    val pre = Seq("¾" -> "3-4", "©" -> "c", "œ" -> "oe", "Œ" -> "OE",
+      "æ" -> "ae", "Æ" -> "AE", "ß" -> "ss")
+      .foldLeft(c) { case (acc, (from, to)) => regexp_replace(acc, from, to) }
     val folded2 = translate(pre,
       foldPairs.map(_._1).mkString, foldPairs.map(_._2).mkString)
     val noPunct = regexp_replace(folded2, """[!"#$%&'()*+,./:;<=>?@\[\\\]^`{|}~_]""", "")

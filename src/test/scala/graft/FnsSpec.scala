@@ -40,6 +40,9 @@ class FnsSpec extends SparkSpec {
     assert(evalStr(Fns.removePunctuation(lit("Aged 55 ¾"))) == "Aged_55_3-4")
     assert(evalStr(Fns.removePunctuation(lit("semi-colon; kept-dash"))) == "semi-colon_kept-dash")
     assert(evalStr(Fns.removePunctuation(lit("Café Ñandú"))) == "Cafe_Nandu")
+    // ligature folds (unidecode behavior)
+    assert(evalStr(Fns.removePunctuation(lit("Œuvre cœur Ærø straße")))
+      == "OEuvre_coeur_AEro_strasse")
   }
 
   test("limitWords reproduces utilities.py doctests") {
