@@ -144,6 +144,9 @@ object SparkEntry {
     "kg_jsonld_lines" -> ((s, d) => io.JsonLd.export(Pipeline.triples(s, d))),
     // §2.1 K2 RDF/XML-lines export (rdf:RDF envelope + one Description/subj)
     "kg_rdfxml_lines" -> ((s, d) => io.RdfXml.export(Pipeline.triples(s, d))),
+    // FreestandingEvents: standalone Event nodes from system-role turns
+    "kg_freestanding" -> ((s, d) =>
+      operators.Emit.freestandingEvents(Pipeline.transcripts(s, d))),
     // §2.8 F15 real %-encoding in minted agent URIs (modsBib.py:960-961)
     "kg_agent_uris" -> ((s, d) =>
       operators.Extras.agentUris(Pipeline.mentions(s, d))),

@@ -80,6 +80,8 @@ object Ns {
   // Activity/time-span vocabulary (analog of crm:E7_Activity /
   // E52_Time-Span emission, `Utils/activity.py:370-526`, `event.py:90-110`)
   val tActivity        = kg + "type/Activity"
+  val tEvent           = kg + "type/Event"
+  val event            = kg + "event/"
   val tTimeSpan        = kg + "type/TimeSpan"
   val hasTimeSpan      = pred + "hasTimeSpan"        // crm:P4_has_time-span
   val atSomeTimeWithin = pred + "atSomeTimeWithin"   // crm:P82

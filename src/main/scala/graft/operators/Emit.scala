@@ -200,6 +200,35 @@ object Emit {
     viaf.unionAll(chain)
   }
 
+  /** FreestandingEvents (`FreestandingEvents/freestanding_events.py:50-107`):
+    * standalone per-CHRONSTRUCT Event nodes, independent of any extractor
+    * family — the graft analog takes each system-role turn (the
+    * CHRONSTRUCT/heading analog) and emits an Event node with a snippet
+    * label and a typed partial-date literal. A standalone module in the
+    * reference (own uber file) → a standalone query here, not part of the
+    * main triple table. */
+  def freestandingEvents(transcripts: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    val fd = Fns.formatDate(Dates.lexicalOf(col("ts"), col("turn_idx")))
+    val ev = transcripts.filter(col("role") === "system")
+      .withColumn("ordinal", row_number().over(w))
+      .withColumn("ev_uri",
+        concat(lit(Ns.event), col("conv_id"), lit("_Event_"),
+          col("ordinal").cast("string")))
+      .withColumn("fd", fd)
+    val typed = ev.select(col("ev_uri").as("subj"),
+      lit(Ns.rdfType).as("pred"), lit(Ns.tEvent).as("obj_value"),
+      lit(true).as("obj_is_iri"), lit("").as("obj_lang"), lit("").as("obj_dtype"))
+    val label = ev.select(col("ev_uri").as("subj"),
+      lit(Ns.rdfsLabel).as("pred"), Fns.snippet(col("text")).as("obj_value"),
+      lit(false).as("obj_is_iri"), lit("en").as("obj_lang"), lit("").as("obj_dtype"))
+    val date = ev.select(col("ev_uri").as("subj"),
+      lit(Ns.atSomeTimeWithin).as("pred"), col("fd.lexical").as("obj_value"),
+      lit(false).as("obj_is_iri"), lit("").as("obj_lang"),
+      col("fd.dtype").as("obj_dtype"))
+    typed.unionAll(label).unionAll(date)
+  }
+
   /** The full graph: union of all emitters + set-dedup (the reference's
     * `uber_graph += graph`, `bio_extraction.py:78`). The distinct is the
     * single biggest shuffle of the pipeline — partial aggregation

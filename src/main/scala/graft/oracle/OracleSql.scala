@@ -284,6 +284,27 @@ canon AS (SELECT n AS node, min(m) AS canon FROM reach GROUP BY n)
       (BASE + "SELECT * FROM all_triples"),
     "kg_activities" ->
       (BASE + s"SELECT * FROM all_triples WHERE subj LIKE '${Ns.act}%'"),
+    "kg_freestanding" ->
+      (BASE + s""", ev AS (
+  SELECT conv_id, turn_idx, ts, text,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS ordinal,
+         CASE WHEN turn_idx % 4 = 0 THEN strftime(ts, '%Y')
+              WHEN turn_idx % 4 = 1 THEN strftime(ts, '%Y-%m')
+              WHEN turn_idx % 4 = 2 THEN strftime(ts, '%Y-%m-%d')
+              ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS lexical
+  FROM tr WHERE role = 'system'),
+evu AS (SELECT *, '${Ns.event}' || conv_id || '_Event_' || CAST(ordinal AS VARCHAR) AS ev_uri FROM ev)
+SELECT ev_uri AS subj, '${Ns.rdfType}' AS pred, '${Ns.tEvent}' AS obj_value,
+       TRUE AS obj_is_iri, '' AS obj_lang, '' AS obj_dtype FROM evu
+UNION ALL
+SELECT ev_uri, '${Ns.rdfsLabel}', ${snipSql("text")}, FALSE, 'en', '' FROM evu
+UNION ALL
+SELECT ev_uri, '${Ns.atSomeTimeWithin}', lexical, FALSE, '',
+       CASE WHEN length(lexical) = 19 THEN '${Ns.xsdDateTime}'
+            WHEN length(lexical) = 10 THEN '${Ns.xsdDate}'
+            WHEN length(lexical) = 7 THEN '${Ns.xsdGYearMon}'
+            WHEN length(lexical) IN (4,5) THEN '${Ns.xsdGYear}'
+            ELSE '${Ns.xsdString}' END FROM evu"""),
     "kg_quads" ->
       (BASE + s"""SELECT
   CASE WHEN regexp_extract(subj, '(conv_[0-9]+)', 1) <> ''
