@@ -31,6 +31,11 @@ object Bench {
       // the core count; 4 MB keeps all cores fed. At production scale the
       // default is right — this is a small-data knob.
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+      // Same reasoning for SCAN splits: the sf0.1 fixture is a single
+      // ~30 MB parquet file, which the 128 MB default reads as ONE task —
+      // serializing the whole extraction+linking front of the pipeline.
+      // 8 MB splits keep the scan parallel; at 100 TB the default is right.
+      .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -36,7 +36,14 @@ object Run {
   def execute(spark: SparkSession, sfDir: String, outDir: String,
               resume: Boolean): (Long, Long) = {
     val m = new RunManifest(spark, outDir, resume)
-    val transcripts = m.stage("transcripts") { Pipeline.transcripts(spark, sfDir) }
+    val transcripts = m.stage("transcripts") {
+      // the designed ingest layout (SURVEY §4): conv_id-bucketed — one file
+      // per bucket task, so every downstream stage reads in parallel even
+      // when the raw input arrives as one unsplittable row group, and
+      // per-conv work is co-located
+      Pipeline.transcripts(spark, sfDir)
+        .repartition(spark.sparkContext.defaultParallelism, col("conv_id"))
+    }
     val linked = m.stage("linked") {
       Link.linkAll(spark, sfDir, Mentions.extract(transcripts))
     }
