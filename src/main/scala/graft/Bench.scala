@@ -35,7 +35,8 @@ object Bench {
       // ~30 MB parquet file, which the 128 MB default reads as ONE task —
       // serializing the whole extraction+linking front of the pipeline.
       // 8 MB splits keep the scan parallel; at 100 TB the default is right.
-      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_SPLIT_BYTES", "8m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -99,8 +100,13 @@ object Bench {
     // SPARK_GRAFT_E2E_ONLY=1 skips them (used for the N-vs-4N scaling runs,
     // which time only the pipeline).
     val e2eOnly = sys.env.get("SPARK_GRAFT_E2E_ONLY").contains("1")
+    // SPARK_GRAFT_QUERIES=a,b,c limits the per-query pass (iteration aid)
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
     val allQueries =
-      if (e2eOnly) Seq.empty else SparkEntry.queries.toSeq.sortBy(_._1)
+      if (e2eOnly) Seq.empty
+      else SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.isEmpty || only.contains(n) }
     val results = allQueries.map { case (name, fn) =>
       val q0 = System.nanoTime()
       // a crashed query records its elapsed time AND lands in `failed` —
