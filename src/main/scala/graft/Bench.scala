@@ -92,6 +92,14 @@ object Bench {
       triples = t; canonTriples = c
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] e2e rep $sec%8.2fs")
+      // drop the rep's staged output immediately — repeated reps would
+      // otherwise accumulate GBs of parquet in /tmp and skew later reps
+      try {
+        import java.nio.file.{Files, Paths}
+        import scala.jdk.CollectionConverters._
+        Files.walk(Paths.get(outDir)).iterator().asScala.toSeq
+          .reverse.foreach(Files.delete)
+      } catch { case _: Throwable => () }
       sec
     }.sorted
     val e2eSec = e2eSecs(e2eSecs.size / 2) // median
