@@ -147,6 +147,9 @@ object SparkEntry {
     // FreestandingEvents: standalone Event nodes from system-role turns
     "kg_freestanding" -> ((s, d) =>
       operators.Emit.freestandingEvents(Pipeline.transcripts(s, d))),
+    // xsd:int-typed literal emission (children counts, lifeInfo.py:346-347)
+    "kg_children" -> ((s, d) =>
+      operators.Extras.childrenCounts(Pipeline.linked(s, d))),
     // §2.8 F15 real %-encoding in minted agent URIs (modsBib.py:960-961)
     "kg_agent_uris" -> ((s, d) =>
       operators.Extras.agentUris(Pipeline.mentions(s, d))),

@@ -95,6 +95,7 @@ object Ns {
   val relatedWork = pred + "relatedWork"
 
   val xsdString   = "http://www.w3.org/2001/XMLSchema#string"
+  val xsdInt      = "http://www.w3.org/2001/XMLSchema#int"
   val xsdDate     = "http://www.w3.org/2001/XMLSchema#date"
   val xsdGYear    = "http://www.w3.org/2001/XMLSchema#gYear"
   val xsdGYearMon = "http://www.w3.org/2001/XMLSchema#gYearMonth"

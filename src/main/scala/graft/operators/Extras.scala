@@ -154,6 +154,20 @@ object Extras {
           .otherwise(col("obj_value")).as("member_uri"))
   }
 
+  /** Children-count emission (`Biography/lifeInfo.py:346-347`: CHILDREN tag
+    * NUMBER attrs become xsd:int-typed literals): the conversation's count
+    * of distinct known persons, emitted with the canonical integer lexical
+    * form — the one output datatype the other emitters don't exercise. */
+  def childrenCounts(linked: DataFrame): DataFrame =
+    linked.filter(col("kind") === "person")
+      .groupBy("conv_id")
+      .agg(countDistinct(col("obj_value")).as("n"))
+      .select(concat(lit(Ns.conv), col("conv_id")).as("subj"),
+        lit(Ns.pred + "childrenCount").as("pred"),
+        col("n").cast("string").as("obj_value"),
+        lit(false).as("obj_is_iri"), lit("").as("obj_lang"),
+        lit(Ns.xsdInt).as("obj_dtype"))
+
   /** F15 — real percent-encoding for minted agent URIs
     * (`Mods/modsBib.py:960-961`, AGENTS minting `modsBib.py:998-1009`):
     * person/org surface forms become url-encoded agent URIs. Uses the

@@ -284,6 +284,12 @@ canon AS (SELECT n AS node, min(m) AS canon FROM reach GROUP BY n)
       (BASE + "SELECT * FROM all_triples"),
     "kg_activities" ->
       (BASE + s"SELECT * FROM all_triples WHERE subj LIKE '${Ns.act}%'"),
+    "kg_children" ->
+      (BASE + s"""SELECT '${Ns.conv}' || conv_id AS subj,
+  '${Ns.pred}childrenCount' AS pred,
+  CAST(count(DISTINCT obj_value) AS VARCHAR) AS obj_value,
+  FALSE AS obj_is_iri, '' AS obj_lang, '${Ns.xsdInt}' AS obj_dtype
+FROM linked WHERE kind = 'person' GROUP BY conv_id"""),
     "kg_freestanding" ->
       (BASE + s""", ev AS (
   SELECT conv_id, turn_idx, ts, text,
