@@ -150,6 +150,10 @@ object SparkEntry {
     // xsd:int-typed literal emission (children counts, lifeInfo.py:346-347)
     "kg_children" -> ((s, d) =>
       operators.Extras.childrenCounts(Pipeline.linked(s, d))),
+    // ontology-term validation (verify_terms.py analog): distinct predicate
+    // / type inventory with a known-in-vocabulary flag
+    "kg_term_validation" -> ((s, d) =>
+      operators.Metrics.termValidation(Pipeline.triples(s, d))),
     // §2.8 F15 real %-encoding in minted agent URIs (modsBib.py:960-961)
     "kg_agent_uris" -> ((s, d) =>
       operators.Extras.agentUris(Pipeline.mentions(s, d))),

@@ -35,4 +35,34 @@ object Metrics {
       min("n").as("min_per_conv"),
       (sum("n").cast("double") / count(lit(1))).as("avg_per_conv"))
   }
+
+  /** Ontology-term validation (`extraction_validation/verify_terms.py:
+    * 73-112`: every cwrc term used must exist and not be deprecated in the
+    * ontology). Graft: every emitted predicate and rdf:type object is
+    * checked against the Ns vocabulary; output is the distinct term
+    * inventory with a known flag — a non-empty, fully-comparable report
+    * whose `known=false` rows are the violations (expected: none). */
+  def termValidation(triples: DataFrame): DataFrame = {
+    import graft.model.Ns
+    val preds = triples.select(lit("predicate").as("role"),
+      col("pred").as("term"))
+    val types = triples.filter(col("pred") === Ns.rdfType)
+      .select(lit("type").as("role"), col("obj_value").as("term"))
+    preds.unionAll(types).distinct()
+      .withColumn("known", col("term").isin(Vocabulary.terms: _*))
+  }
+}
+
+/** The engine's fixed term vocabulary — the ontology the validator checks
+  * against (the reference loads the CWRC ontology graph; ours is the Ns
+  * registry, enumerated so additions must be deliberate). */
+object Vocabulary {
+  import graft.model.Ns
+  val terms: Seq[String] = Seq(
+    Ns.rdfType, Ns.rdfsLabel, Ns.owlSameAs, Ns.hasTarget, Ns.hasSnippet,
+    Ns.mentionsPlace, Ns.leftPlace, Ns.spatialRel, Ns.knowsPerson,
+    Ns.memberOf, Ns.hasOccupation, Ns.hasEducation, Ns.hasTimeSpan,
+    Ns.atSomeTimeWithin, Ns.beginOfBegin, Ns.endOfEnd, Ns.hasCertainty,
+    Ns.hasGenre, Ns.authoredBy, Ns.relatedWork,
+    Ns.tPerson, Ns.tContext, Ns.tActivity, Ns.tTimeSpan, Ns.tEvent, Ns.tWork)
 }

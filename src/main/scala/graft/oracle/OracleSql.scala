@@ -290,6 +290,14 @@ canon AS (SELECT n AS node, min(m) AS canon FROM reach GROUP BY n)
   CAST(count(DISTINCT obj_value) AS VARCHAR) AS obj_value,
   FALSE AS obj_is_iri, '' AS obj_lang, '${Ns.xsdInt}' AS obj_dtype
 FROM linked WHERE kind = 'person' GROUP BY conv_id"""),
+    "kg_term_validation" ->
+      (BASE + s""", roles AS (
+  SELECT DISTINCT 'predicate' AS role, pred AS term FROM all_triples
+  UNION
+  SELECT DISTINCT 'type', obj_value FROM all_triples WHERE pred = '${Ns.rdfType}')
+SELECT role, term,
+  term IN (${graft.operators.Vocabulary.terms.map(t => s"'$t'").mkString(",")}) AS known
+FROM roles"""),
     "kg_freestanding" ->
       (BASE + s""", ev AS (
   SELECT conv_id, turn_idx, ts, text,
