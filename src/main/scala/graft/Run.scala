@@ -19,13 +19,17 @@ object Run {
     val sfDir = args(0)
     val outDir = args(1)
     val resume = args.contains("--resume")
-    val spark = SparkSession.builder()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val builder = SparkSession.builder()
       .appName("graft-kg-run")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // spark-submit injects spark.master; standalone runs fall back to local
+    val spark = (if (sys.props.contains("spark.master")) builder
+                 else builder.master(
+                   sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     execute(spark, sfDir, outDir, resume)
