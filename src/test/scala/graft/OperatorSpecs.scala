@@ -20,6 +20,29 @@ class SameAsSpec extends SparkSpec {
     assert(canon("q2") == "q")
   }
 
+  test("closure ≡ driver-side union-find on 500 random edges (seeded)") {
+    val rnd = new scala.util.Random(7)
+    val n = 200
+    val edges = Seq.fill(500)((s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}"))
+      .filter { case (a, b) => a != b }
+    // reference implementation: classic union-find with min-label canon
+    val parent = scala.collection.mutable.Map.empty[String, String]
+    def find(x: String): String = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: String, b: String): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    edges.foreach { case (a, b) => union(a, b) }
+    val got = SameAs.closure(edges.toDF("a", "b"))
+      .as[(String, String)].collect().toMap
+    // every node present in an edge maps to its component's min label
+    assert(got.keySet == edges.flatMap(e => Seq(e._1, e._2)).toSet)
+    got.foreach { case (k, v) => assert(v == find(k), s"canon($k)") }
+  }
+
   test("two-cluster merge via a bridging edge") {
     val before = SameAs.closure(Seq(("a", "b"), ("m", "n")).toDF("a", "b"))
       .as[(String, String)].collect().toMap
@@ -129,5 +152,18 @@ class TextInvariantSpec extends SparkSpec {
     val t = Pipeline.triples(spark, sfDir)
     assert(t.count() == t.distinct().count())
     assert(t.unionAll(t).distinct().count() == t.count())
+  }
+
+  test("triple set is invariant under input permutation (full pipeline)") {
+    import graft.operators.{Emit, Link, Mentions}
+    val tr = Pipeline.transcripts(spark, sfDir)
+    val want = Pipeline.triples(spark, sfDir).as[graft.model.Triple]
+      .collect().toSet
+    // same rows, adversarial partitioning/order
+    val shuffled = tr.repartition(7).sortWithinPartitions(col("text"))
+    val got = Emit.allTriples(spark, sfDir, shuffled,
+      Link.linkAll(spark, sfDir, Mentions.extract(shuffled)))
+      .as[graft.model.Triple].collect().toSet
+    assert(got == want)
   }
 }
