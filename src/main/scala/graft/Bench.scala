@@ -102,7 +102,11 @@ object Bench {
       } catch { case _: Throwable => () }
       sec
     }.sorted
-    val e2eSec = e2eSecs(e2eSecs.size / 2) // median
+    // true median (mean of the middle pair for even rep counts — the
+    // upper-middle element alone would bias even-rep headlines slow)
+    val e2eSec =
+      if (e2eSecs.size % 2 == 1) e2eSecs(e2eSecs.size / 2)
+      else (e2eSecs(e2eSecs.size / 2 - 1) + e2eSecs(e2eSecs.size / 2)) / 2
 
     // --- per-query timings (cold, scan included) ---
     // SPARK_GRAFT_E2E_ONLY=1 skips them (used for the N-vs-4N scaling runs,

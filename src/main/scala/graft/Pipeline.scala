@@ -45,20 +45,12 @@ object Pipeline {
       .unionAll(Emit.activityTriples(l)) // date/cert objects — canon-inert
   }
 
-  /** Context ordinals (W1/A5) surfaced directly for verification. Ordering
-    * is (turn_idx, midx) — document order, deterministic when one turn
-    * carries several mentions of a kind. */
-  def ordinals(s: SparkSession, d: String): DataFrame = {
-    val emitting = linked(s, d).filter(
-      !col("kind").isin("place", "place_left") || col("matched"))
-    val w = Window.partitionBy(col("conv_id"), col("kind"))
-      .orderBy(col("turn_idx"), col("midx"))
-    emitting.select(col("conv_id"), col("turn_idx"), col("kind"), col("midx"))
-      .withColumn("ordinal", row_number().over(w))
-      .withColumn("ctx_uri",
-        concat(lit(Ns.ctx), col("conv_id"), lit("_"), col("kind"),
-          lit("Context_"), col("ordinal").cast("string")))
-  }
+  /** Context ordinals (W1/A5) surfaced directly for verification — the
+    * SAME frame emission uses (Emit.ctxFrame), so the verified ordinals and
+    * the minted context URIs can never drift apart. */
+  def ordinals(s: SparkSession, d: String): DataFrame =
+    Emit.ctxFrame(linked(s, d))
+      .select("conv_id", "turn_idx", "kind", "midx", "ordinal", "ctx_uri")
 
   /** W2 "closest heading": each turn gets the text of the nearest
     * role=system turn at-or-before it, falling back to the nearest after
@@ -81,11 +73,13 @@ object Pipeline {
 
   /** A7 "first mentioned" person per conversation
     * (`Biography/biography.py:139-144`: mother/father = first mentioned).
-    * Order key is document order (turn_idx, midx) packed into one integer
-    * so min_by stays deterministic with several mentions per turn. */
+    * Order key is document order (turn_idx, midx) packed into one BIGINT
+    * with a 10^6 radix — collision-free for any realistic mention count
+    * per turn and overflow-free for any turn index. */
   def firstPerson(s: SparkSession, d: String): DataFrame =
     linked(s, d).filter(col("kind") === "person")
       .groupBy("conv_id")
-      .agg(min_by(col("obj_value"), col("turn_idx") * 100 + col("midx"))
+      .agg(min_by(col("obj_value"),
+        col("turn_idx").cast("long") * 1000000L + col("midx"))
         .as("first_person"))
 }

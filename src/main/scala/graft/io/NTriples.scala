@@ -42,9 +42,16 @@ object NTriples {
     val litVal = regexp_extract(l, "^<[^>]*> <[^>]*> \"(.*)\"(@[a-zA-Z-]+|\\^\\^<[^>]*>)? \\.$", 1)
     val lang = regexp_extract(l, "\"@([a-zA-Z-]+) \\.$", 1)
     val dtype = regexp_extract(l, "\"\\^\\^<([^>]*)> \\.$", 1)
-    val unescaped = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      regexp_replace(litVal, "\\\\t", "\t"), "\\\\r", "\r"),
-      "\\\\n", "\n"), "\\\\\"", "\""), "\\\\\\\\", "\\\\")
+    // Unescape via a NUL sentinel: escaped backslashes are parked FIRST
+    // (so a literal backslash followed by 'n'/'r'/'t' can't be misread as
+    // an escape sequence), the short escapes resolved, then the sentinel
+    // restored. NUL cannot occur in N-Triples literals.
+    val nul = "\u0000"
+    val unescaped = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(
+        litVal, "\\\\\\\\", nul),
+        "\\\\t", "\t"), "\\\\r", "\r"), "\\\\n", "\n"), "\\\\\"", "\""),
+      nul, "\\\\")
     lines.select(
       subj.as("subj"), pred.as("pred"),
       when(objIri =!= "", objIri).otherwise(unescaped).as("obj_value"),

@@ -45,6 +45,10 @@ object RdfXml {
       .agg(array_join(array_sort(collect_list(col("c"))), "").as("cs"))
       .select(concat(lit("<rdf:Description rdf:about=\""), escXml(col("subj")),
         lit("\">"), col("cs"), lit("</rdf:Description>")).as("line"))
-    Seq(openTag, closeTag).toDF("line").unionAll(descriptions)
+    // row order: open tag, descriptions, closing tag — a coalesce(1) text
+    // write of this frame is well-formed XML
+    Seq(openTag).toDF("line")
+      .unionAll(descriptions)
+      .unionAll(Seq(closeTag).toDF("line"))
   }
 }

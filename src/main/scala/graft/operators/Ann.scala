@@ -75,16 +75,25 @@ object Ann {
   }
 
   /** Signature bit p = (w_p · v) > 0; bucket = the packed bit vector.
-    * A pure per-row projection over inlined weight literals. */
+    * A pure per-row projection over inlined weight literals.
+    * Cross-engine stability: Spark folds the dot in ascending index order,
+    * DuckDB's oracle sums in arbitrary order — the `> 0` decision agrees
+    * unless a projection sits within float-summation noise (~1e-13) of
+    * zero, a measure-zero event for continuous embeddings; the fixture
+    * inputs are fixed, so the gate is deterministic either way. */
   def bucketExpr(v: Column, dim: Int): Column =
     (0 until NumPlanes).map { p =>
       val proj = dot(v, typedlit(planeWeights(p, dim)))
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Vector dim probe — one driver-side row read, amortized over the job. */
+  /** Vector dim probe — one driver-side row read, amortized over the job.
+    * Empty input → 0 (the callers' plans then simply return no rows).
+    * Assumes a rectangular embedding column (a ragged row's mismatched
+    * length makes graft_dot return null → signature bit 0). */
   private def dimOf(emb: DataFrame): Int =
-    emb.select(size(col("embedding"))).head().getInt(0)
+    emb.select(size(col("embedding"))).take(1)
+      .headOption.map(_.getInt(0)).getOrElse(0)
 
   /** prepared + bucket column in ONE narrow pass (no shuffle, no self-join). */
   def annotated(emb: DataFrame): DataFrame = {

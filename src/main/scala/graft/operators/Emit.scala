@@ -90,7 +90,7 @@ object Emit {
   /** Emitting mentions with (conv, kind) ordinals + minted context URIs —
     * shared base of context AND activity emission (same counters, same
     * document order). */
-  private def ctxFrame(linked: DataFrame): DataFrame = {
+  private[graft] def ctxFrame(linked: DataFrame): DataFrame = {
     val emitting = linked.filter(
       !col("kind").isin("place", "place_left") || col("matched"))
     val w = Window.partitionBy(col("conv_id"), col("kind"))

@@ -64,5 +64,7 @@ object Vocabulary {
     Ns.memberOf, Ns.hasOccupation, Ns.hasEducation, Ns.hasTimeSpan,
     Ns.atSomeTimeWithin, Ns.beginOfBegin, Ns.endOfEnd, Ns.hasCertainty,
     Ns.hasGenre, Ns.authoredBy, Ns.relatedWork,
+    // emitted by standalone operators (Extras), outside Pipeline.triples
+    Ns.pred + "employedAt", Ns.pred + "childrenCount", Ns.pred + "knowsWriter",
     Ns.tPerson, Ns.tContext, Ns.tActivity, Ns.tTimeSpan, Ns.tEvent, Ns.tWork)
 }

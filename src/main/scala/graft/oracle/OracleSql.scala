@@ -69,7 +69,7 @@ tr AS (
            || CASE WHEN e.event_id % 11 = 0 THEN ' and also met Customer#' || lpad(CAST((e.event_id * 13) % 200 AS VARCHAR), 9, '0') ELSE '' END
            || CASE WHEN e.event_id % 9 = 0 THEN ' then visited Nation_' || CAST((e.event_id + 17) % 31 AS VARCHAR) ELSE '' END
            || CASE WHEN e.event_id % 10 = 0 THEN ' later working as ' || o2.w ELSE '' END
-           || CASE WHEN e.event_id % 8 = 0 THEN ' studied at Academy_' || CAST((e.event_id * 3) % 40 AS VARCHAR) ELSE '' END
+           || CASE WHEN e.event_id % 8 = 0 THEN ' studied at Academy_' || CAST(((e.event_id // 8) * 3) % 40 AS VARCHAR) ELSE '' END
            || '.'
            || CASE WHEN e.event_id % 6 = 0 THEN '${SynthTranscripts.fillerSentence}' ELSE '' END AS text,
          CASE WHEN e.event_type = 'error' THEN 'tool_' || CAST(e.event_id % 5 AS VARCHAR) ELSE '' END AS tool,
@@ -388,7 +388,8 @@ FROM per"""),
     '') AS heading
 FROM tr"""),
     "kg_first_person" ->
-      (BASE + """SELECT conv_id, min_by(obj_value, turn_idx * 100 + midx) AS first_person
+      (BASE + """SELECT conv_id,
+  min_by(obj_value, CAST(turn_idx AS BIGINT) * 1000000 + midx) AS first_person
 FROM linked WHERE kind = 'person' GROUP BY conv_id"""),
     "kg_dates" ->
       (BASE + s""", lex AS (

@@ -78,8 +78,12 @@ object SynthTranscripts {
       when(eid % 10 === 0,
         concat(lit(" later working as "), occ2)
       ).otherwise(lit("")),
+      // (eid DIV 8)*3 ranges over odd AND even academies — eid*3 with
+      // eid%8==0 would only ever hit the even (authority-mapped) half and
+      // leave the skolem-miss path unreachable in the corpus
       when(eid % 8 === 0,
-        concat(lit(" studied at Academy_"), ((eid * 3) % 40).cast("string"))
+        concat(lit(" studied at Academy_"),
+          (expr("event_id DIV 8") * 3 % 40).cast("string"))
       ).otherwise(lit("")),
       lit("."),
       when(eid % 6 === 0, lit(fillerSentence)).otherwise(lit("")))

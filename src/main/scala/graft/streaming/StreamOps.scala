@@ -9,9 +9,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** Event row shape entering the stateful sessionizer. */
 final case class SessEvent(user_id: Long, event_id: Long,
                            ts_utc: java.sql.Timestamp, us: Long, cents: Long)
-/** Per-user open-session state carried across micro-batches. */
+/** Per-user session state carried across micro-batches. `open=false` is a
+  * tombstone left after a timeout emission: it preserves the session
+  * counter so a user who returns later continues at sessIdx+1 instead of
+  * re-issuing session ids (state size is O(distinct users) — the same
+  * bound any per-user sessionizer carries). */
 final case class SessAgg(sessIdx: Long, startUs: Long, endUs: Long,
-                         n: Long, cents: Long)
+                         n: Long, cents: Long, open: Boolean = true)
 /** One CLOSED session (same shape as the batch sessionizer's output). */
 final case class SessionRow(user_id: Long, session_id: String, n_events: Long,
                             start_ts: java.sql.Timestamp,
@@ -70,16 +74,21 @@ object StreamOps {
     * once the watermark passes end + 30 min — so the streaming query emits
     * exactly the sessions the batch twin would consider closed at
     * watermark time (the stream_sessions oracle states that predicate).
-    * Session indexes stay monotone because an event arriving after its
-    * predecessor session timed out would be behind the watermark (late)
-    * and can't reopen the group. */
+    * Session indexes stay monotone across timeouts: the timeout leaves a
+    * closed tombstone holding the counter, so a user who returns in a
+    * later batch gets sessIdx+1, never a duplicated session id. */
   private def sessionizeGroup(user: Long, it: Iterator[SessEvent],
                               state: GroupState[SessAgg]): Iterator[SessionRow] = {
     def rowOf(s: SessAgg) = SessionRow(user, s"${user}_${s.sessIdx}", s.n,
       mkTs(s.startUs), mkTs(s.endUs), s.cents)
     if (!it.hasNext) {
-      if (state.hasTimedOut && state.exists) {
-        val r = rowOf(state.get); state.remove(); Iterator(r)
+      if (state.hasTimedOut && state.exists && state.get.open) {
+        val s = state.get
+        // keep a CLOSED tombstone (no new timeout): the session counter
+        // survives, so a user returning in a later batch continues at
+        // sessIdx+1 instead of duplicating session ids
+        state.update(s.copy(open = false))
+        Iterator(rowOf(s))
       } else Iterator.empty
     } else {
       val sorted = it.toArray.sortBy(e => (e.us, e.event_id))
@@ -87,10 +96,10 @@ object StreamOps {
       var st = state.getOption
       sorted.foreach { e =>
         st match {
-          case Some(s) if e.us - s.endUs <= GapUs =>
+          case Some(s) if s.open && e.us - s.endUs <= GapUs =>
             st = Some(s.copy(endUs = e.us, n = s.n + 1, cents = s.cents + e.cents))
           case Some(s) =>
-            out += rowOf(s)
+            if (s.open) out += rowOf(s) // closed by an observed gap
             st = Some(SessAgg(s.sessIdx + 1, e.us, e.us, 1, e.cents))
           case None =>
             st = Some(SessAgg(1, e.us, e.us, 1, e.cents))
