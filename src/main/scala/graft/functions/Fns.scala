@@ -159,11 +159,13 @@ object Fns {
     struct(lex.as("lexical"), dtype.as("dtype"))
   }
 
-  /** Date-certainty map (`Utils/activity.py:217-228`): CERT/BY/AFTER/...
-    * → high/medium/low/unknownCertainty. */
+  /** Date-certainty map — the FULL reference certainty_map
+    * (`Utils/activity.py:216-229`): CERT/FROM → high; C/BY/AFTER/TO/BOTH/
+    * NEITHER → medium; ROUGHLYDATED (alone) → low; UNKNOWN/None → unknown. */
   def dateCertainty(c: Column): Column =
-    when(c === "CERT", "highCertainty")
-      .when(c.isin("BY", "AFTER"), "mediumCertainty")
-      .when(c.isin("CIRCA", "ROUGHLYDATED"), "lowCertainty")
+    when(c.isin("CERT", "FROM"), "highCertainty")
+      .when(c.isin("C", "BY", "AFTER", "TO", "BOTH", "NEITHER"),
+        "mediumCertainty")
+      .when(c === "ROUGHLYDATED", "lowCertainty")
       .otherwise("unknownCertainty")
 }

@@ -58,14 +58,17 @@ class RunManifest(spark: SparkSession, out: String, resume: Boolean) {
     val written = spark.read.parquet(dir)
     // per-partition lineage: ONE scan of the materialized stage, attributed
     // to the FILES the write tasks committed (input_file_name) — true
-    // write-side lineage, independent of how the re-read happens to split
+    // write-side lineage, independent of how the re-read happens to split.
+    // The key keeps the partition DIRECTORY (bucket=N/...) so a
+    // directory-partitioned stage never aggregates unrelated part-00000
+    // files from different buckets under one id.
     val lineage = written
-      .groupBy(regexp_extract(input_file_name(), "part-([0-9]+)", 1)
-        .cast("int").as("partition_id"))
+      .groupBy(regexp_extract(input_file_name(),
+        "([^/]+=[^/]+/)?part-[0-9]+[^/]*$", 0).as("partition_id"))
       .agg(count(lit(1)).as("rows"))
       .collect()
     import spark.implicits._
-    lineage.map(r => (r.getInt(0), r.getLong(1))).toSeq
+    lineage.map(r => (r.getString(0), r.getLong(1))).toSeq
       .toDF("partition_id", "rows")
       .coalesce(1).write.mode("overwrite").parquet(s"$out/_lineage/$name")
     val rows = lineage.map(_.getLong(1)).sum

@@ -60,6 +60,23 @@ object Turtle {
       c, "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n"),
       "\r", "\\\\r"), "\t", "\\\\t")
 
+  /** DuckDB mirror of escapeLit (same replace order: \\ first, then ",
+    * \n, \r, \t) — keeps the oracle's serialization well-formed for ANY
+    * literal value domain, not just the control-char-free one. */
+  def escLitSql(e: String): String =
+    s"replace(replace(replace(replace(replace($e, chr(92), chr(92)||chr(92)), " +
+      s"chr(34), chr(92)||chr(34)), chr(10), chr(92)||'n'), " +
+      s"chr(13), chr(92)||'r'), chr(9), chr(92)||'t')"
+
+  /** DuckDB mirror of JsonLd.esc (backslash then quote). */
+  def escJsonSql(e: String): String =
+    s"replace(replace($e, chr(92), chr(92)||chr(92)), chr(34), chr(92)||chr(34))"
+
+  /** DuckDB mirror of RdfXml.escXml (& first, then < > "). */
+  def escXmlSql(e: String): String =
+    s"replace(replace(replace(replace($e, '&', '&amp;'), '<', '&lt;'), " +
+      s"'>', '&gt;'), chr(34), '&quot;')"
+
   /** The same CASE chain as `term`, in DuckDB SQL (for the oracle). */
   def termSql(e: String): String =
     byLength.foldRight(s"('<' || $e || '>')") { case ((p, ns), els) =>

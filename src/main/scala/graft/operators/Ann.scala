@@ -87,13 +87,17 @@ object Ann {
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Vector dim probe — one driver-side row read, amortized over the job.
-    * Empty input → 0 (the callers' plans then simply return no rows).
-    * Assumes a rectangular embedding column (a ragged row's mismatched
-    * length makes graft_dot return null → signature bit 0). */
+  /** Vector dim probe — one driver-side aggregate, amortized over the job.
+    * max(size) over non-null rows is DETERMINISTIC for ragged inputs (a
+    * take(1) probe was partition-order-dependent and NPE'd on a null row);
+    * rows shorter than the chosen dim make graft_dot return null →
+    * signature bit 0, documented rectangularity assumption otherwise.
+    * Empty/all-null input → 0 (the callers' plans then return no rows). */
   private def dimOf(emb: DataFrame): Int =
-    emb.select(size(col("embedding"))).take(1)
-      .headOption.map(_.getInt(0)).getOrElse(0)
+    emb.filter(col("embedding").isNotNull)
+      .agg(max(size(col("embedding")))).take(1)
+      .headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+      .getOrElse(0)
 
   /** prepared + bucket column in ONE narrow pass (no shuffle, no self-join). */
   def annotated(emb: DataFrame): DataFrame = {

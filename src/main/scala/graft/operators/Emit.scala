@@ -135,7 +135,7 @@ object Emit {
     *  - atSomeTimeWithin: the partial lexical, datatype by LEXICAL LENGTH
     *    (F10 — 1891 stays gYear, never becomes 1891-01-01),
     *  - beginOfTheBegin/endOfTheEnd: the interval endpoints (F9/F11),
-    *  - hasCertainty: CERT/BY/AFTER/CIRCA/ROUGHLYDATED → high/medium/low
+    *  - hasCertainty: CERT/BY/AFTER/C/ROUGHLYDATED → high/medium/low
     *    (F12, `Utils/activity.py:217-228`).
     * All URIs are functions of (conv, kind, ordinal) — same counters as the
     * contexts; all 8 triples are unique by construction (routed around the
@@ -144,7 +144,7 @@ object Emit {
     val base = ctxFrame(linked).filter(col("kind").isin(activityKinds: _*))
     val lex = Dates.lexicalOf(col("ts"), col("turn_idx"))
     val certCode = element_at(
-      array(Seq("CERT", "BY", "AFTER", "CIRCA", "ROUGHLYDATED").map(lit): _*),
+      array(Seq("CERT", "BY", "AFTER", "C", "ROUGHLYDATED").map(lit): _*),
       (col("turn_idx") % 5).cast("int") + 1)
     val a = base
       .withColumn("act_uri",

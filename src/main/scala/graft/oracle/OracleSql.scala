@@ -172,7 +172,7 @@ act AS (
          WHEN turn_idx % 4 = 2 THEN strftime(ts, '%Y-%m-%d')
          ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS lexical,
     CASE WHEN turn_idx % 5 = 0 THEN 'highCertainty'
-         WHEN turn_idx % 5 IN (1, 2) THEN 'mediumCertainty'
+         WHEN turn_idx % 5 IN (1, 2, 3) THEN 'mediumCertainty'
          ELSE 'lowCertainty' END AS cert
   FROM ctx WHERE kind IN ('place','place_left','occupation','education')
 ),
@@ -330,31 +330,36 @@ FROM all_triples"""),
       (BASE + s"""SELECT DISTINCT surface,
   '${Ns.kg}agent/' || replace(surface, '#', '%23') AS agent_uri
 FROM men WHERE kind IN ('person','org')"""),
-    "kg_jsonld_lines" ->
-      (BASE + """, objs AS (
+    "kg_jsonld_lines" -> {
+      val e = graft.io.Turtle.escJsonSql("obj_value")
+      (BASE + s""", objs AS (
   SELECT subj, pred,
-    CASE WHEN obj_is_iri THEN '{"@id":"' || obj_value || '"}'
-         WHEN obj_lang <> '' THEN '{"@value":"' || obj_value || '","@language":"' || obj_lang || '"}'
-         WHEN obj_dtype <> '' THEN '{"@value":"' || obj_value || '","@type":"' || obj_dtype || '"}'
-         ELSE '{"@value":"' || obj_value || '"}' END AS o
+    CASE WHEN obj_is_iri THEN '{"@id":"' || $e || '"}'
+         WHEN obj_lang <> '' THEN '{"@value":"' || $e || '","@language":"' || obj_lang || '"}'
+         WHEN obj_dtype <> '' THEN '{"@value":"' || $e || '","@type":"' || obj_dtype || '"}'
+         ELSE '{"@value":"' || $e || '"}' END AS o
   FROM all_triples),
 per_pred AS (
   SELECT subj, '"' || pred || '":[' || string_agg(o, ',' ORDER BY o) || ']' AS entry
   FROM objs GROUP BY subj, pred)
 SELECT '{"@id":"' || subj || '",' || string_agg(entry, ',' ORDER BY entry) || '}' AS line
-FROM per_pred GROUP BY subj"""),
+FROM per_pred GROUP BY subj""")
+    },
     "kg_rdfxml_lines" -> {
       val q = graft.io.Turtle.termSql("pred")
+      val e = graft.io.Turtle.escXmlSql("obj_value")
+      val ed = graft.io.Turtle.escXmlSql("obj_dtype")
+      val es = graft.io.Turtle.escXmlSql("subj")
       (BASE + s""", kids AS (
   SELECT subj,
-    CASE WHEN obj_is_iri THEN '<' || $q || ' rdf:resource="' || obj_value || '"/>'
-         WHEN obj_lang <> '' THEN '<' || $q || ' xml:lang="' || obj_lang || '">' || obj_value || '</' || $q || '>'
-         WHEN obj_dtype <> '' THEN '<' || $q || ' rdf:datatype="' || obj_dtype || '">' || obj_value || '</' || $q || '>'
-         ELSE '<' || $q || '>' || obj_value || '</' || $q || '>' END AS c
+    CASE WHEN obj_is_iri THEN '<' || $q || ' rdf:resource="' || $e || '"/>'
+         WHEN obj_lang <> '' THEN '<' || $q || ' xml:lang="' || obj_lang || '">' || $e || '</' || $q || '>'
+         WHEN obj_dtype <> '' THEN '<' || $q || ' rdf:datatype="' || $ed || '">' || $e || '</' || $q || '>'
+         ELSE '<' || $q || '>' || $e || '</' || $q || '>' END AS c
   FROM all_triples)
 SELECT line FROM (VALUES ('${graft.io.RdfXml.openTag.replace("'", "''")}'), ('${graft.io.RdfXml.closeTag}')) h(line)
 UNION ALL
-SELECT '<rdf:Description rdf:about="' || subj || '">' || string_agg(c, '' ORDER BY c) || '</rdf:Description>'
+SELECT '<rdf:Description rdf:about="' || $es || '">' || string_agg(c, '' ORDER BY c) || '</rdf:Description>'
 FROM kids GROUP BY subj""")
     },
     "kg_sameas_clusters" ->
@@ -522,9 +527,9 @@ WHERE l.kind = 'person' AND l.matched"""),
   SELECT ${graft.io.Turtle.termSql("subj")} AS s,
          ${graft.io.Turtle.termSql("pred")} || ' ' ||
          CASE WHEN obj_is_iri THEN ${graft.io.Turtle.termSql("obj_value")}
-              WHEN obj_lang <> '' THEN '"' || obj_value || '"@' || obj_lang
-              WHEN obj_dtype <> '' THEN '"' || obj_value || '"^^' || ${graft.io.Turtle.termSql("obj_dtype")}
-              ELSE '"' || obj_value || '"' END AS po
+              WHEN obj_lang <> '' THEN '"' || ${graft.io.Turtle.escLitSql("obj_value")} || '"@' || obj_lang
+              WHEN obj_dtype <> '' THEN '"' || ${graft.io.Turtle.escLitSql("obj_value")} || '"^^' || ${graft.io.Turtle.termSql("obj_dtype")}
+              ELSE '"' || ${graft.io.Turtle.escLitSql("obj_value")} || '"' END AS po
   FROM all_triples)
 SELECT line FROM (VALUES ${graft.io.Turtle.headerLines.map(l => s"('$l')").mkString(",")}) h(line)
 UNION ALL

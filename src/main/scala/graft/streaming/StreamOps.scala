@@ -106,8 +106,15 @@ object StreamOps {
         }
       }
       state.update(st.get)
-      // ms domain (watermark precision): fires when watermark_ms exceeds it
-      state.setTimeoutTimestamp(st.get.endUs / 1000 + 30L * 60 * 1000)
+      // ms domain (watermark precision): fires when watermark_ms exceeds it.
+      // Clamped to watermark+1: a group whose newest event is already older
+      // than watermark-minus-gap (late data) would otherwise ask for a
+      // timeout in the past, which setTimeoutTimestamp rejects and the
+      // exception kills the query — clamping makes it fire on the next
+      // micro-batch instead, which is exactly when the session IS closed.
+      state.setTimeoutTimestamp(math.max(
+        st.get.endUs / 1000 + 30L * 60 * 1000,
+        state.getCurrentWatermarkMs() + 1))
       out.iterator
     }
   }

@@ -69,8 +69,10 @@ class FnsSpec extends SparkSpec {
 
   test("dateCertainty map (activity.py:217-228)") {
     assert(evalStr(Fns.dateCertainty(lit("CERT"))) == "highCertainty")
+    assert(evalStr(Fns.dateCertainty(lit("FROM"))) == "highCertainty")
     assert(evalStr(Fns.dateCertainty(lit("BY"))) == "mediumCertainty")
-    assert(evalStr(Fns.dateCertainty(lit("CIRCA"))) == "lowCertainty")
+    assert(evalStr(Fns.dateCertainty(lit("C"))) == "mediumCertainty")
+    assert(evalStr(Fns.dateCertainty(lit("ROUGHLYDATED"))) == "lowCertainty")
     assert(evalStr(Fns.dateCertainty(lit("???"))) == "unknownCertainty")
   }
 }

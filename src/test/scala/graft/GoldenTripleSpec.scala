@@ -128,15 +128,17 @@ class GoldenTripleSpec extends SparkSpec {
     // activities (place/place_left/occupation only): precision cycles with
     // turn%4 (0→gYear 1→gYearMonth 2→date 3→dateTime), certainty with turn%5
     ++ actTriples("place", 1, "2024", Ns.xsdGYear, d0, dYearEnd, "highCertainty")
-    ++ actTriples("place", 2, dt3, Ns.xsdDateTime, dt3, dt3, "lowCertainty")
-    ++ actTriples("place", 3, dt3, Ns.xsdDateTime, dt3, dt3, "lowCertainty")
+    // turn 3: cert code 3%5=3 → 'C' → mediumCertainty (the reference's
+    // certainty_map has no low entry besides ROUGHLYDATED, activity.py:216-229)
+    ++ actTriples("place", 2, dt3, Ns.xsdDateTime, dt3, dt3, "mediumCertainty")
+    ++ actTriples("place", 3, dt3, Ns.xsdDateTime, dt3, dt3, "mediumCertainty")
     ++ actTriples("place_left", 1, "2024-01", Ns.xsdGYearMon, d0, dMonEnd, "mediumCertainty")
     ++ actTriples("place_left", 2, "2024-01-01", Ns.xsdDate, d0, dDayEnd, "mediumCertainty")
     ++ actTriples("occupation", 1, "2024", Ns.xsdGYear, d0, dYearEnd, "highCertainty")
     ++ actTriples("occupation", 2, "2024-01", Ns.xsdGYearMon, d0, dMonEnd, "mediumCertainty")
     ++ actTriples("occupation", 3, "2024-01-01", Ns.xsdDate, d0, dDayEnd, "mediumCertainty")
-    ++ actTriples("occupation", 4, dt3, Ns.xsdDateTime, dt3, dt3, "lowCertainty")
-    ++ actTriples("occupation", 5, dt3, Ns.xsdDateTime, dt3, dt3, "lowCertainty")
+    ++ actTriples("occupation", 4, dt3, Ns.xsdDateTime, dt3, dt3, "mediumCertainty")
+    ++ actTriples("occupation", 5, dt3, Ns.xsdDateTime, dt3, dt3, "mediumCertainty")
     ++ actTriples("occupation", 6, "2024", Ns.xsdGYear, d0, dYearEnd, "lowCertainty")
     // turn 5: prec 5%4=1 → gYearMonth; cert 5%5=0 → high
     ++ actTriples("education", 1, "2024-01", Ns.xsdGYearMon, d0, dMonEnd, "highCertainty")
