@@ -173,7 +173,21 @@ object SparkEntry {
     // north-star batched mapPartitions kernel over salted conv buckets —
     // must equal the Catalyst projection (same oracle as kg_mentions)
     "kg_mentions_kernel" -> ((s, d) =>
-      operators.MentionKernel.extract(s, Pipeline.transcripts(s, d)))
+      operators.MentionKernel.extract(s, Pipeline.transcripts(s, d))),
+    // personname family (personname.py): typed NameEntity variants with
+    // connotation dispatch, birth-name part graphs, IndexedName std entry
+    "kg_names" -> ((s, d) =>
+      operators.Names.nameTriples(Pipeline.transcripts(s, d))),
+    // titles family (title_extraction.py): cross-row-linked authority
+    // (ct_islink self-join at dict build) + TYPE_MAPPING dispatch
+    "kg_titles" -> ((s, d) =>
+      operators.Titles.titleTriples(s, Pipeline.transcripts(s, d))),
+    // Writing module (writing_extraction.py): profile + genre contexts
+    "kg_writing" -> ((s, d) =>
+      operators.Profiles.writingTriples(Pipeline.transcripts(s, d))),
+    // lifeInfo keyword emitters (lifeInfo.py:80-106 + burial events)
+    "kg_lifeinfo" -> ((s, d) =>
+      operators.Profiles.lifeInfoTriples(Pipeline.transcripts(s, d)))
   )
 
   def oracleSql: Map[String, String] = OracleSql.queries

@@ -94,6 +94,32 @@ object Ns {
   val authoredBy  = pred + "authoredBy"
   val relatedWork = pred + "relatedWork"
 
+  // personname family (Biography/personname.py)
+  val name           = kg + "name/"
+  val hasName        = pred + "name"          // cwrc.name, personname.py:124
+  val indexedBy      = pred + "IndexedBy"     // cwrc.IndexedBy, personname.py:201
+  val hasNamePart    = pred + "hasNamePart"   // personname.py:93
+  val hasSortOrder   = pred + "hasSortOrder"  // personname.py:90
+  val tNickName      = kg + "type/NickName"
+  val tBirthName     = kg + "type/BirthName"
+  val tAuthorialName = kg + "type/AuthorialName"
+  val tIndexedName   = kg + "type/IndexedName"
+  val tForename      = kg + "type/Forename"
+  val tSurname       = kg + "type/Surname"
+  // titles family (titles/title_extraction.py)
+  val title         = kg + "title/"
+  val tTitle        = kg + "type/Title"       // BF.Title analog
+  val mentionsTitle = pred + "mentionsTitle"
+  // Writing module (Writing/writing_extraction.py:29-64)
+  val profile              = pred + "profile"
+  val genericRangeIncludes = pred + "genericRangeIncludes"
+  val extent               = pred + "extent"
+  // lifeInfo keyword emitters (Biography/lifeInfo.py:80-106, birthDeath.py)
+  val bio                    = kg + "bio/"
+  val reproductiveHistory    = pred + "reproductiveHistory"
+  val unspecifiedReproHist   = pred + "unspecifiedReproductiveHistory"
+  val burialEvent            = pred + "burialEvent"
+
   val xsdString   = "http://www.w3.org/2001/XMLSchema#string"
   val xsdInt      = "http://www.w3.org/2001/XMLSchema#int"
   val xsdDate     = "http://www.w3.org/2001/XMLSchema#date"

@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.functions.Fns
+import graft.model.Ns
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Writing-module emission + lifeInfo keyword emitters.
+  *
+  * Writing (`Writing/writing_extraction.py:29-70`): per person, a
+  * WritingContext_1 carrying cwrc:profile = limit_words(AUTHORSUMMARY text,
+  * 35) and a WritingContext_2 carrying cwrc:genericRangeIncludes literals
+  * harvested from TGENRE tags. Graft mapping: AUTHORSUMMARY ↔ the first
+  * system-role turn of a conversation (the summary heading), TGENRE
+  * GENRENAME attrs ↔ the occupation surfaces inside that turn (the genre
+  * vocabulary of the corpus). EXTENTOFOEUVRE (also a limit_words literal,
+  * :57-59) is the same operator class as profile and is not replayed
+  * separately.
+  *
+  * LifeInfo (`Biography/lifeInfo.py:80-106` + `birthDeath.py:15,237-256`):
+  * CHILDLESSNESS paragraphs are classified by SUBSTRING keyword lists into
+  * seven reproductiveHistory categories (unspecified fallback when no
+  * keyword fires); SHORTPROSE after a death CHRONSTRUCT containing a
+  * BURIAL_KEYWORD mints a Burial Event activity. Graft mapping: the
+  * "while discussing <phrase>" clause plays the CHILDLESSNESS tag; the
+  * keyword lists are verbatim from the reference.
+  *
+  * Scale: both are narrow projections over the transcript scan (one window
+  * per conv for the summary/burial ordinals, co-partitioned with ingest).
+  */
+object Profiles {
+
+  private def t(df: DataFrame, subj: org.apache.spark.sql.Column, pred: String,
+                obj: org.apache.spark.sql.Column, isIri: Boolean) =
+    df.select(subj.as("subj"), lit(pred).as("pred"), obj.as("obj_value"),
+      lit(isIri).as("obj_is_iri"), lit("").as("obj_lang"),
+      lit("").as("obj_dtype"))
+
+  /** kg_writing: profile context + genre-harvest context. */
+  def writingTriples(tr: DataFrame): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    val summary = tr.filter(col("role") === "system")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val ctx1 = concat(lit(Ns.ctx), col("conv_id"), lit("_WritingContext_1"))
+    val ctx2 = concat(lit(Ns.ctx), col("conv_id"), lit("_WritingContext_2"))
+    val profile = t(summary, ctx1, Ns.profile,
+      Fns.limitWords(col("text"), 35), isIri = false)
+    val ctx1Type = t(summary, ctx1, Ns.rdfType, lit(Ns.tContext), isIri = true)
+    val ctx2Type = t(summary, ctx2, Ns.rdfType, lit(Ns.tContext), isIri = true)
+    val genres = t(
+      summary.select(col("conv_id"),
+        explode(regexp_extract_all(col("text"),
+          lit("working as ([A-Za-z-]+)"), lit(1))).as("genre")),
+      ctx2, Ns.genericRangeIncludes, col("genre"), isIri = false)
+    profile.unionAll(ctx1Type).unionAll(ctx2Type).unionAll(genres).distinct()
+  }
+
+  /** childlessness_words verbatim (lifeInfo.py:81-89), in dict order. */
+  val childlessnessWords: Seq[(String, Seq[String])] = Seq(
+    "birthControl" -> Seq("contraception", "birth control", "family planning"),
+    "adoption" -> Seq("adopted", "adoption"),
+    "childlessness" -> Seq("childless", "no children", "no surviving children",
+      "none survived", "no child alive", "did not have any children",
+      "they had none", "decided not to have children"),
+    "miscarriage" -> Seq("miscarriage", "miscarriages", "miscarried"),
+    "stillbirth" -> Seq("stillborn", "still birth", "stillbirth"),
+    "abortion" -> Seq("abortion", "aborted"),
+    "venerealDisease" -> Seq("syphilis", "venereal", "VD"))
+
+  /** BURIAL_KEYWORDS verbatim (birthDeath.py:15). */
+  val burialKeywords: Seq[String] = Seq("buried", "grave", "interred")
+
+  private def containsAny(c: org.apache.spark.sql.Column, kws: Seq[String]) =
+    kws.map(k => c.contains(k)).reduce(_ || _)
+
+  /** kg_lifeinfo: reproductive-history keyword classification + burial
+    * events. One row per (conv, matched category) / per unspecified tag /
+    * per burial event — distinct, standard triple schema. */
+  def lifeInfoTriples(tr: DataFrame): DataFrame = {
+    val tagged = tr.filter(col("text").contains("while discussing"))
+    val convUri = concat(lit(Ns.conv), col("conv_id"))
+    val cats = childlessnessWords.map { case (cat, kws) =>
+      t(tagged.filter(containsAny(col("text"), kws)),
+        convUri, Ns.reproductiveHistory, lit(Ns.bio + cat), isIri = true)
+    }.reduce(_ unionAll _)
+    val anyKw = containsAny(col("text"),
+      childlessnessWords.flatMap(_._2))
+    val unspecified = t(tagged.filter(!anyKw),
+      convUri, Ns.unspecifiedReproHist,
+      lit(Ns.bio + "unspecifiedReproductiveHistory"), isIri = true)
+    // burial events get per-conv ordinals (context_count, birthDeath.py:246)
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    val burial = tagged.filter(containsAny(col("text"), burialKeywords))
+      .withColumn("ord", row_number().over(w))
+      .withColumn("ev_uri", concat(lit(Ns.event), col("conv_id"),
+        lit("_BurialEvent_"), col("ord").cast("string")))
+    val burialTriples =
+      t(burial, col("ev_uri"), Ns.rdfType, lit(Ns.tActivity), isIri = true)
+        .unionAll(t(burial, col("ev_uri"), Ns.rdfsLabel,
+          lit("Burial Event"), isIri = false))
+        .unionAll(t(burial, convUri, Ns.burialEvent, col("ev_uri"), isIri = true))
+    cats.unionAll(unspecified).unionAll(burialTriples).distinct()
+  }
+}

@@ -54,8 +54,13 @@ object OracleSql {
 
   /** Shared CTE block: transcripts, mentions, dictionaries, linked mentions.
     * Mirrors SynthTranscripts / Mentions / Dicts / Link exactly. */
+  /** life-phrase table as VALUES (mirrors SynthTranscripts.lifePhrases). */
+  private val lifeValues = SynthTranscripts.lifePhrases.zipWithIndex
+    .map { case (w, i) => s"($i,'$w')" }.mkString(",")
+
   val BASE: String = s"""
 WITH occ(i, w) AS (VALUES $occValues),
+lifep(i, w) AS (VALUES $lifeValues),
 tr AS (
   SELECT 'conv_' || lpad(CAST(e.event_id // 20 AS VARCHAR), 6, '0') AS conv_id,
          CAST(e.event_id % 20 AS INT) AS turn_idx,
@@ -70,12 +75,17 @@ tr AS (
            || CASE WHEN e.event_id % 9 = 0 THEN ' then visited Nation_' || CAST((e.event_id + 17) % 31 AS VARCHAR) ELSE '' END
            || CASE WHEN e.event_id % 10 = 0 THEN ' later working as ' || o2.w ELSE '' END
            || CASE WHEN e.event_id % 8 = 0 THEN ' studied at Academy_' || CAST(((e.event_id // 8) * 3) % 40 AS VARCHAR) ELSE '' END
+           || CASE WHEN e.event_id % 13 = 0 THEN ' nicknamed Nick_' || CAST((e.event_id * 11) % 40 AS VARCHAR) ELSE '' END
+           || CASE WHEN e.event_id % 17 = 0 THEN ' born Given_' || CAST((e.event_id * 3) % 25 AS VARCHAR) || ' Family_' || CAST((e.event_id * 5) % 25 AS VARCHAR) ELSE '' END
+           || CASE WHEN e.event_id % 14 = 0 THEN ' reading Title_' || CAST((e.event_id * 7) % 30 AS VARCHAR) ELSE '' END
+           || CASE WHEN e.event_id % 21 = 0 THEN ' while discussing ' || lp.w ELSE '' END
            || '.'
            || CASE WHEN e.event_id % 6 = 0 THEN '${SynthTranscripts.fillerSentence}' ELSE '' END AS text,
          CASE WHEN e.event_type = 'error' THEN 'tool_' || CAST(e.event_id % 5 AS VARCHAR) ELSE '' END AS tool,
          e.ts AS ts
   FROM events e JOIN occ o ON o.i = CAST(e.event_id % 12 AS INT)
                JOIN occ o2 ON o2.i = CAST((e.event_id + 5) % 12 AS INT)
+               JOIN lifep lp ON lp.i = CAST((e.event_id // 21) % 9 AS INT)
 ),
 men AS (
   -- find_all parity: ALL regex matches per (turn, kind), midx = match index
@@ -421,12 +431,161 @@ SELECT conv_id, turn_idx, lexical,
 FROM lex""")
   ) ++ extraQueries ++ docQueries ++ annQueries ++ eventQueries ++ streamQueries
 
+  /** Connotation subtype table (mirrors Names.connotations). */
+  private val connValues = graft.operators.Names.connotations.zipWithIndex
+    .map { case (w, i) => s"($i,'$w')" }.mkString(",")
+
+  /** Title authority rows (mirrors Titles.titleRows). */
+  private val titleValues = graft.operators.Titles.titleRows
+    .map { case (rid, norm, ty, link) => s"($rid,'$norm','$ty','$link')" }
+    .mkString(",")
+
+  /** kg_names: the personname-family oracle (same window/dedup/dispatch
+    * logic re-derived in SQL). */
+  private lazy val namesQuery: String =
+    BASE + s""", nmen AS (
+  SELECT conv_id, turn_idx, role, 0 AS kord, 'nickname' AS kind,
+         regexp_extract(text, 'nicknamed (Nick_[0-9]+)', 1) AS surface FROM tr
+  UNION ALL
+  SELECT conv_id, turn_idx, role, 1, 'birthname',
+         regexp_extract(text, 'born (Given_[0-9]+ Family_[0-9]+)', 1) FROM tr
+),
+nmen2 AS (
+  SELECT *, '${Ns.name}' || replace(replace(conv_id || ' NameEnt ' || surface, '_', ''), ' ', '_') AS name_uri,
+         CAST(turn_idx AS BIGINT) * 10 + kord AS ord
+  FROM nmen WHERE surface <> ''),
+nfirst AS (
+  SELECT conv_id, name_uri, kind, role, surface, ord FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, name_uri ORDER BY ord) AS dn FROM nmen2)
+  WHERE dn = 1),
+nranked AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY conv_id ORDER BY ord) AS rn,
+    CASE WHEN kind = 'nickname' THEN CAST(substr(surface, 6) AS INT) END AS k,
+    CASE WHEN kind = 'birthname' THEN string_split(surface, ' ')[1] END AS given,
+    CASE WHEN kind = 'birthname' THEN string_split(surface, ' ')[2] END AS family
+  FROM nfirst),
+conn(i, w) AS (VALUES $connValues),
+nbn AS (
+  SELECT *, '${Ns.name}' || replace(replace(given, '_', ''), ' ', '_') AS g_uri,
+         '${Ns.name}' || replace(replace(family, '_', ''), ' ', '_') AS f_uri
+  FROM nranked WHERE kind = 'birthname')
+SELECT DISTINCT * FROM (
+  SELECT name_uri AS subj, '${Ns.rdfType}' AS pred,
+         CASE WHEN kind = 'nickname' THEN '${Ns.tNickName}' ELSE '${Ns.tBirthName}' END AS obj_value,
+         TRUE AS obj_is_iri, '' AS obj_lang, '' AS obj_dtype FROM nranked
+  UNION ALL SELECT name_uri, '${Ns.rdfsLabel}', surface, FALSE, '', '' FROM nranked
+  UNION ALL SELECT n.name_uri, '${Ns.rdfType}', '${Ns.kg}type/' || c.w, TRUE, '', ''
+            FROM nranked n JOIN conn c ON c.i = n.k % 7 WHERE n.kind = 'nickname'
+  UNION ALL SELECT name_uri, '${Ns.rdfType}', '${Ns.tAuthorialName}', TRUE, '', '' FROM nranked WHERE role = 'assistant'
+  UNION ALL SELECT name_uri, '${Ns.rdfType}', '${Ns.tIndexedName}', TRUE, '', '' FROM nranked WHERE rn = 1
+  UNION ALL SELECT name_uri, '${Ns.indexedBy}', 'Orlando', FALSE, '', '' FROM nranked WHERE rn = 1
+  UNION ALL SELECT '${Ns.ctx}' || conv_id || '_PersonNameContext_0', '${Ns.hasName}', name_uri, TRUE, '', '' FROM nranked WHERE rn > 1
+  UNION ALL SELECT DISTINCT '${Ns.ctx}' || conv_id || '_PersonNameContext_0', '${Ns.rdfType}', '${Ns.tContext}', TRUE, '', '' FROM nranked
+  UNION ALL SELECT g_uri, '${Ns.rdfType}', '${Ns.tForename}', TRUE, '', '' FROM nbn
+  UNION ALL SELECT g_uri, '${Ns.hasSortOrder}', '1', FALSE, '', '${Ns.xsdInt}' FROM nbn
+  UNION ALL SELECT g_uri, '${Ns.rdfsLabel}', given, FALSE, '', '' FROM nbn
+  UNION ALL SELECT name_uri, '${Ns.hasNamePart}', g_uri, TRUE, '', '' FROM nbn
+  UNION ALL SELECT f_uri, '${Ns.rdfType}', '${Ns.tSurname}', TRUE, '', '' FROM nbn
+  UNION ALL SELECT f_uri, '${Ns.hasSortOrder}', '2', FALSE, '', '${Ns.xsdInt}' FROM nbn
+  UNION ALL SELECT f_uri, '${Ns.rdfsLabel}', family, FALSE, '', '' FROM nbn
+  UNION ALL SELECT name_uri, '${Ns.hasNamePart}', f_uri, TRUE, '', '' FROM nbn
+)"""
+
+  /** kg_titles: cross-linked authority build + gen_rdf + mention links. */
+  private lazy val titlesQuery: String = {
+    val typeCases = graft.operators.Titles.typeMapping
+      .map { case (f, to) => s"WHEN '$f' THEN '$to'" }.mkString(" ")
+    val typeKeys = graft.operators.Titles.typeMapping
+      .map { case (f, _) => s"'$f'" }.mkString(",")
+    BASE + s""", traw(row_id, normalized, titletype, islink) AS (VALUES $titleValues),
+tsrc AS (SELECT row_id, normalized, titletype, CAST(islink AS INT) - 2 AS t_row
+         FROM traw WHERE regexp_matches(islink, '^[0-9]+$$')),
+tpairs AS (SELECT s.normalized AS s_norm, s.titletype AS s_type,
+                  t.normalized AS t_norm, t.titletype AS t_type
+           FROM tsrc s JOIN traw t ON t.row_id = s.t_row),
+tpe AS (
+  SELECT s_norm AS key, [t_norm, s_norm] AS labels, [t_type, s_type] AS types FROM tpairs
+  UNION ALL
+  SELECT t_norm, [t_norm, s_norm], [t_type, s_type] FROM tpairs),
+tsing AS (
+  SELECT normalized AS key, [normalized] AS labels, [titletype] AS types FROM traw
+  WHERE islink IN ('n', '', '?') AND normalized NOT IN (SELECT key FROM tpe)),
+tdict AS (SELECT key, labels, types,
+                 '${Ns.title}' || replace(replace(key, '_', ''), ' ', '_') AS title_uri
+          FROM (SELECT * FROM tpe UNION ALL SELECT * FROM tsing)),
+tmen AS (SELECT conv_id, unnest(regexp_extract_all(text, 'reading (Title_[0-9]+)', 1)) AS key FROM tr)
+SELECT DISTINCT * FROM (
+  SELECT title_uri AS subj, '${Ns.rdfType}' AS pred, '${Ns.tTitle}' AS obj_value,
+         TRUE AS obj_is_iri, '' AS obj_lang, '' AS obj_dtype FROM tdict
+  UNION ALL SELECT title_uri, '${Ns.rdfsLabel}', unnest(labels), FALSE, '', '' FROM tdict
+  UNION ALL SELECT title_uri, '${Ns.rdfType}', '${Ns.kg}type/' || (CASE lower(ty) $typeCases END), TRUE, '', ''
+            FROM (SELECT title_uri, unnest(types) AS ty FROM tdict)
+            WHERE lower(ty) IN ($typeKeys)
+  UNION ALL SELECT '${Ns.conv}' || m.conv_id, '${Ns.mentionsTitle}', d.title_uri, TRUE, '', ''
+            FROM tmen m JOIN tdict d ON d.key = m.key
+)"""
+  }
+
+  /** limit_words(e, 35) in DuckDB (mirrors Fns.limitWords). */
+  private def limitWordsSql(e: String): String = {
+    val w = s"string_split(regexp_replace(trim($e), '\\s+', ' ', 'g'), ' ')"
+    s"(CASE WHEN len($w) > 35 THEN array_to_string(list_slice($w, 1, 35), ' ') || '...' ELSE array_to_string($w, ' ') END)"
+  }
+
+  /** kg_writing: profile + genre-harvest contexts. */
+  private lazy val writingQuery: String =
+    BASE + s""", wsum AS (
+  SELECT conv_id, text FROM (
+    SELECT conv_id, text, row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+    FROM tr WHERE role = 'system') WHERE rn = 1)
+SELECT DISTINCT * FROM (
+  SELECT '${Ns.ctx}' || conv_id || '_WritingContext_1' AS subj, '${Ns.profile}' AS pred,
+         ${limitWordsSql("text")} AS obj_value, FALSE AS obj_is_iri, '' AS obj_lang, '' AS obj_dtype FROM wsum
+  UNION ALL SELECT '${Ns.ctx}' || conv_id || '_WritingContext_1', '${Ns.rdfType}', '${Ns.tContext}', TRUE, '', '' FROM wsum
+  UNION ALL SELECT '${Ns.ctx}' || conv_id || '_WritingContext_2', '${Ns.rdfType}', '${Ns.tContext}', TRUE, '', '' FROM wsum
+  UNION ALL SELECT '${Ns.ctx}' || conv_id || '_WritingContext_2', '${Ns.genericRangeIncludes}',
+            unnest(regexp_extract_all(text, 'working as ([A-Za-z-]+)', 1)), FALSE, '', '' FROM wsum
+)"""
+
+  /** kg_lifeinfo: keyword classification branches generated from the
+    * verbatim childlessness_words / BURIAL_KEYWORDS constants. */
+  private lazy val lifeinfoQuery: String = {
+    import graft.operators.Profiles.{burialKeywords, childlessnessWords}
+    def anyOf(kws: Seq[String]) =
+      kws.map(k => s"strpos(text, '$k') > 0").mkString("(", " OR ", ")")
+    val catBranches = childlessnessWords.map { case (cat, kws) =>
+      s"""SELECT '${Ns.conv}' || conv_id AS subj, '${Ns.reproductiveHistory}' AS pred, '${Ns.bio}$cat' AS obj_value,
+         TRUE AS obj_is_iri, '' AS obj_lang, '' AS obj_dtype FROM ltag WHERE ${anyOf(kws)}"""
+    }.mkString("\n  UNION ALL ")
+    BASE + s""", ltag AS (
+  SELECT conv_id, turn_idx, text FROM tr WHERE strpos(text, 'while discussing') > 0),
+lburial AS (
+  SELECT conv_id,
+         '${Ns.event}' || conv_id || '_BurialEvent_' ||
+           CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS VARCHAR) AS ev_uri
+  FROM ltag WHERE ${anyOf(burialKeywords)})
+SELECT DISTINCT * FROM (
+  $catBranches
+  UNION ALL SELECT '${Ns.conv}' || conv_id, '${Ns.unspecifiedReproHist}',
+            '${Ns.bio}unspecifiedReproductiveHistory', TRUE, '', ''
+            FROM ltag WHERE NOT ${anyOf(childlessnessWords.flatMap(_._2))}
+  UNION ALL SELECT ev_uri, '${Ns.rdfType}', '${Ns.tActivity}', TRUE, '', '' FROM lburial
+  UNION ALL SELECT ev_uri, '${Ns.rdfsLabel}', 'Burial Event', FALSE, '', '' FROM lburial
+  UNION ALL SELECT '${Ns.conv}' || conv_id, '${Ns.burialEvent}', ev_uri, TRUE, '', '' FROM lburial
+)"""
+  }
+
   /** PA dictionary rows for the retry chain (mirrors Dicts.paRows). */
   private val paDictValues = Dicts.paRows
     .flatMap { case (rid, term, alts) => alts.map(a => s"($rid,'$term','$a')") }
     .mkString(",")
 
   private lazy val extraQueries: Map[String, String] = Map(
+    "kg_names" -> namesQuery,
+    "kg_titles" -> titlesQuery,
+    "kg_writing" -> writingQuery,
+    "kg_lifeinfo" -> lifeinfoQuery,
     "kg_retry_chain" ->
       (BASE + s""", pa_dict_raw(row_id, term, alt) AS (VALUES $paDictValues),
 pa_dict AS (SELECT ${stem("alt")} AS key, min_by(term, row_id) AS term

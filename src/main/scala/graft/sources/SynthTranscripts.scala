@@ -40,6 +40,15 @@ object SynthTranscripts {
   def apply(spark: SparkSession, dir: String): DataFrame =
     project(Tables.events(spark, dir))
 
+  /** CHILDLESSNESS/SHORTPROSE-style keyword payloads (lifeInfo.py:80-106 +
+    * birthDeath.py:15,237-256): seven reproductive-history trigger words,
+    * one non-trigger ("gardening" → the unspecified fallback), one burial
+    * trigger ("the grave" ⊇ BURIAL_KEYWORDS' "grave"). Indexed by
+    * (event_id DIV 21) % 9. */
+  val lifePhrases: Seq[String] = Seq(
+    "contraception", "adoption", "childless", "miscarriage", "stillborn",
+    "abortion", "syphilis", "gardening", "the grave")
+
   /** Filler second sentence (no mention frames inside) — multi-sentence
     * turns exercise the snippet sentence budget (F6/F7): turns whose first
     * sentence exceeds the word budget get the filler trimmed off. */
@@ -84,6 +93,28 @@ object SynthTranscripts {
       when(eid % 8 === 0,
         concat(lit(" studied at Academy_"),
           (expr("event_id DIV 8") * 3 % 40).cast("string"))
+      ).otherwise(lit("")),
+      // personname family (personname.py): nickname variants — (eid*11)%40
+      // covers all residues mod 40 (gcd(143,40)=1) so every NAMECONNOTATION
+      // subtype (k%7) is reachable
+      when(eid % 13 === 0,
+        concat(lit(" nicknamed Nick_"), ((eid * 11) % 40).cast("string"))
+      ).otherwise(lit("")),
+      // birth-name with GIVEN/SURNAME parts (personname.py:142-152)
+      when(eid % 17 === 0,
+        concat(lit(" born Given_"), ((eid * 3) % 25).cast("string"),
+          lit(" Family_"), ((eid * 5) % 25).cast("string"))
+      ).otherwise(lit("")),
+      // TITLE mentions linked through the cross-linked title authority
+      // (titles/title_extraction.py) — only even titles occur in text
+      when(eid % 14 === 0,
+        concat(lit(" reading Title_"), ((eid * 7) % 30).cast("string"))
+      ).otherwise(lit("")),
+      // CHILDLESSNESS/burial keyword payload (lifeInfo.py:80-106)
+      when(eid % 21 === 0,
+        concat(lit(" while discussing "), element_at(
+          array(lifePhrases.map(lit): _*),
+          (expr("event_id DIV 21") % 9).cast("int") + 1))
       ).otherwise(lit("")),
       lit("."),
       when(eid % 6 === 0, lit(fillerSentence)).otherwise(lit("")))
