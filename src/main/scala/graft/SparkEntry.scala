@@ -187,7 +187,13 @@ object SparkEntry {
       operators.Profiles.writingTriples(Pipeline.transcripts(s, d))),
     // lifeInfo keyword emitters (lifeInfo.py:80-106 + burial events)
     "kg_lifeinfo" -> ((s, d) =>
-      operators.Profiles.lifeInfoTriples(Pipeline.transcripts(s, d)))
+      operators.Profiles.lifeInfoTriples(Pipeline.transcripts(s, d))),
+    // §2.1 K2 N3 export (Turtle-compatible subset — utilities.py:807-808)
+    "kg_n3_lines" -> ((s, d) => io.N3.export(Pipeline.triples(s, d))),
+    // §2.1 K2 TriX export: per-quad graph elements, zero-shuffle projection
+    "kg_trix_lines" -> ((s, d) => io.TriX.export(io.Quads.export(Pipeline.triples(s, d)))),
+    // §2.1 K4 Huviz 3-level BFS neighbor copy (huvizQuads.py:119-140)
+    "kg_quads_bfs" -> ((s, d) => io.Quads.bfs(Pipeline.triples(s, d)))
   )
 
   def oracleSql: Map[String, String] = OracleSql.queries

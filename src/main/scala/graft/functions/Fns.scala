@@ -44,16 +44,28 @@ object Fns {
     * general unidecode table is reduced to the Latin-1 accent folds that
     * can actually occur in our value domain (translate() below).
     */
-  /** Accent-fold pairs, built pairwise so from/to can never misalign. */
+  /** Accent-fold pairs, built pairwise so from/to can never misalign.
+    * Covers Latin-1 Supplement AND Latin Extended-A (the unidecode rows a
+    * European-language corpus actually exercises — CJK/Cyrillic would need
+    * a transliteration table, declared out of scope in SURVEY §2.0.1). */
   private val foldPairs: Seq[(Char, Char)] =
     ("ÃA ÀA ÁA ÂA ÄA àa áa âa äa ÈE ÉE ÊE ËE èe ée êe ëe ÌI ÍI ÎI ÏI ìi íi îi ïi " +
-     "ÒO ÓO ÔO ÖO òo óo ôo öo ÙU ÚU ÛU ÜU ùu úu ûu üu ÑN ñn ÇC çc ØO øo ÅA åa ÝY ýy ÿy")
+     "ÒO ÓO ÔO ÖO òo óo ôo öo ÙU ÚU ÛU ÜU ùu úu ûu üu ÑN ñn ÇC çc ØO øo ÅA åa ÝY ýy ÿy " +
+     "ÐD ðd " + // Latin-1 eth
+     "ĀA āa ĂA ăa ĄA ąa ĆC ćc ĈC ĉc ĊC ċc ČC čc ĎD ďd ĐD đd " +
+     "ĒE ēe ĔE ĕe ĖE ėe ĘE ęe ĚE ěe ĜG ĝg ĞG ğg ĠG ġg ĢG ģg " +
+     "ĤH ĥh ĦH ħh ĨI ĩi ĪI īi ĬI ĭi ĮI įi İI ıi ĴJ ĵj ĶK ķk ĸk " +
+     "ĹL ĺl ĻL ļl ĽL ľl ĿL ŀl ŁL łl ŃN ńn ŅN ņn ŇN ňn ŊN ŋn " +
+     "ŌO ōo ŎO ŏo ŐO őo ŔR ŕr ŖR ŗr ŘR řr ŚS śs ŜS ŝs ŞS şs ŠS šs " +
+     "ŢT ţt ŤT ťt ŦT ŧt ŨU ũu ŪU ūu ŬU ŭu ŮU ůu ŰU űu ŲU ųu " +
+     "ŴW ŵw ŶY ŷy ŸY ŹZ źz ŻZ żz ŽZ žz")
       .split(" ").toSeq.map(p => (p(0), p(1)))
 
   def removePunctuation(c: Column): Column = {
     // multi-char folds (unidecode ligature behavior) before translate:
     val pre = Seq("¾" -> "3-4", "©" -> "c", "œ" -> "oe", "Œ" -> "OE",
-      "æ" -> "ae", "Æ" -> "AE", "ß" -> "ss")
+      "æ" -> "ae", "Æ" -> "AE", "ß" -> "ss",
+      "Ĳ" -> "IJ", "ĳ" -> "ij", "Þ" -> "Th", "þ" -> "th", "ŉ" -> "'n")
       .foldLeft(c) { case (acc, (from, to)) => regexp_replace(acc, from, to) }
     val folded2 = translate(pre,
       foldPairs.map(_._1).mkString, foldPairs.map(_._2).mkString)

@@ -28,4 +28,27 @@ object Quads {
       col("subj"), col("pred"), col("obj_value"),
       col("obj_is_iri"), col("obj_lang"), col("obj_dtype"))
   }
+
+  /** The Huviz 3-level BFS neighbor copy (`Huviz/huvizQuads.py:119-140`):
+    * every graph additionally receives the triples of resources reachable
+    * from its objects in ≤3 hops (the nested predicate_objects loops),
+    * realized as 3 ITERATED equi-joins frontier⋈triples on subj — each
+    * level is a plain shuffle join on the subject key, no recursion state
+    * on the driver beyond the loop counter. Output: original quads ∪ the
+    * copied levels, set semantics. */
+  def bfs(triples: DataFrame): DataFrame = {
+    val quads = export(triples)
+    val qCols = Seq(col("graph"), col("subj"), col("pred"), col("obj_value"),
+      col("obj_is_iri"), col("obj_lang"), col("obj_dtype"))
+    var frontier = quads.filter(col("obj_is_iri"))
+      .select(col("graph"), col("obj_value").as("subj")).distinct()
+    var acc = quads
+    for (_ <- 1 to 3) {
+      val level = frontier.join(triples, "subj").select(qCols: _*)
+      acc = acc.unionAll(level)
+      frontier = level.filter(col("obj_is_iri"))
+        .select(col("graph"), col("obj_value").as("subj")).distinct()
+    }
+    acc.distinct()
+  }
 }

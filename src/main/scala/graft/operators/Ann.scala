@@ -22,12 +22,15 @@ import org.apache.spark.sql.functions._
 object Ann {
 
   /** Cast float embedding to double once; precompute the L2 norm. The
-    * repartition spreads the (often single-file) vector table across all
-    * cores — the pair joins below are per-bucket equi-joins whose
-    * parallelism follows the partitioning. */
+    * repartition spreads a single-file vector table across all cores — but
+    * ONLY when the input arrives under-split (the sandbox fixture is one
+    * unsplittable row group); a pre-partitioned production table keeps its
+    * partitioning and pays no Exchange. */
   def prepared(emb: DataFrame): DataFrame = {
     val parts = emb.sparkSession.sparkContext.defaultParallelism
-    emb.repartition(parts)
+    val spread = if (emb.rdd.getNumPartitions < parts)
+      emb.repartition(parts) else emb
+    spread
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
@@ -60,7 +63,15 @@ object Ann {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
   }
 
-  val NumPlanes = 8
+  /** Banded signature geometry (the Dedup.bands AND/OR shape lifted to
+    * hyperplane LSH): NumPlanes = NumBands × BandBits sign bits total; a
+    * candidate must share ALL BandBits bits of SOME band. BandBits bounds
+    * the per-band bucket population (E[bucket size] = n / 2^BandBits — the
+    * scale knob: raise BandBits ~ log2(corpus) at 10⁹ vectors); NumBands
+    * recovers the recall a single narrow bucket would lose. */
+  val NumBands = 2
+  val BandBits = 8
+  val NumPlanes: Int = NumBands * BandBits
 
   /** Plane p's weight for dimension i: +1 if the 1-based position of the
     * first hex nibble of md5("<p>_<i>") in '0123456789abcdef' is odd,
@@ -105,48 +116,65 @@ object Ann {
     prepared(emb).withColumn("bucket", bucketExpr(col("v"), dim))
   }
 
-  /** Random-hyperplane LSH signatures: (vec_id, bucket). */
+  /** Random-hyperplane LSH signatures: (vec_id, bucket) — the full
+    * NumPlanes-bit signature; bands are bit slices of it. */
   def lshBuckets(emb: DataFrame): DataFrame =
     annotated(emb).select(col("vec_id"), col("bucket"))
 
-  /** LSH-bucketed ANN search — the 10^9-vector scale path: each query only
-    * scores vectors sharing its full hyperplane signature, so the pair
-    * space shrinks from |Q|×N to per-bucket joins (equi-join on bucket —
-    * shuffle/broadcast-friendly, no nested loop over the corpus). Top-k
-    * within candidates; recall improves with fewer planes / multiple
-    * tables, tested against the exact brute force. */
+  /** Band i of the packed signature: BandBits bits starting at i*BandBits. */
+  private def bandOf(bucket: Column, i: Int): Column =
+    pmod(shiftright(bucket, i * BandBits), lit(1L << BandBits))
+
+  /** LSH-bucketed ANN search — the 10^9-vector scale path: a query only
+    * scores vectors sharing SOME band of its hyperplane signature
+    * (OR-across-bands for recall, AND-within-band for selectivity), so the
+    * pair space shrinks from |Q|×N to per-band equi-joins — never a nested
+    * loop over the corpus. The OR is realized as a UNION of NumBands
+    * equi-joins + distinct (an OR join predicate would plan as NLJ).
+    * Recall tested against the exact brute force (DotProductSpec). */
   def lshSearch(emb: DataFrame, k: Int = 5): DataFrame = {
     val p = annotated(emb)
     val q = p.filter(col("vec_id") % 25 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("norm").as("qn"), col("bucket"))
-    val cands = p.join(broadcast(q),
-      p("bucket") === q("bucket") && col("vec_id") =!= col("query_id"))
-      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("norm")))
+        col("norm").as("qn"), col("bucket").as("qbucket"))
+    val qb = broadcast(q)
+    val scored = (0 until NumBands).map { i =>
+      p.join(qb, bandOf(col("bucket"), i) === bandOf(col("qbucket"), i) &&
+        col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          (dot(col("qv"), col("v")) / (col("qn") * col("norm"))).as("cos"))
+    }.reduce(_ unionAll _)
+      .distinct() // pairs found by several bands collapse (same cos bits)
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
-    cands.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
   }
 
   /** Near-duplicate pairs over the augmented corpus (original ∪ 2×-scaled
-    * copies at vec_id+100000): verified WITHIN LSH buckets — candidates =
-    * same full signature (scalar multiples always share it: signs are
-    * scale-invariant), then cosine ≥ 0.999 and a < b. An equi-join on the
-    * bucket key, never a nested-loop/cartesian pair space. */
+    * copies at vec_id+100000): candidates = pairs sharing ANY signature
+    * band (scalar multiples share ALL bands: signs are scale-invariant),
+    * deduped BEFORE verification (the Dedup.lshCandidates shape — the
+    * verify join touches each candidate pair once), then cosine ≥ 0.999.
+    * Equi-joins only, never a nested-loop/cartesian pair space. */
   def nearDupPairs(emb: DataFrame): DataFrame = {
     val aug = emb.select(col("vec_id"), col("embedding"))
       .unionAll(emb.select((col("vec_id") + 100000).as("vec_id"),
         transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
     val p = annotated(aug)
-    val l = p.select(col("bucket"), col("vec_id").as("a"),
-      col("v").as("av"), col("norm").as("an"))
-    val r = p.select(col("bucket"), col("vec_id").as("b"),
-      col("v").as("bv"), col("norm").as("bn"))
-    l.join(r, Seq("bucket")).filter(col("a") < col("b"))
-      .withColumn("cos", dot(col("av"), col("bv")) / (col("an") * col("bn")))
-      .filter(col("cos") >= 0.999)
+    val bands = p.select(col("vec_id"), posexplode(
+      array((0 until NumBands).map(i => bandOf(col("bucket"), i)): _*))
+      .as(Seq("band", "bkey")))
+    val cand = bands.select(col("band"), col("bkey"), col("vec_id").as("a"))
+      .join(bands.select(col("band"), col("bkey"), col("vec_id").as("b")),
+        Seq("band", "bkey"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val va = p.select(col("vec_id").as("a"), col("v").as("av"), col("norm").as("an"))
+    val vb = p.select(col("vec_id").as("b"), col("v").as("bv"), col("norm").as("bn"))
+    cand.join(va, "a").join(vb, "b")
+      .filter(dot(col("av"), col("bv")) / (col("an") * col("bn")) >= 0.999)
       .select("a", "b")
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -121,27 +121,36 @@ object Dedup {
     * 64-bit integer spelled by md5(w)'s first 16 hex chars (bit b lives in
     * hex char b/4, sub-bit b%4) — nibble-by-nibble so DuckDB (no hex→int
     * conv, and a sign trap at bit 63) reproduces it exactly. The hex-string
-    * encoding sidesteps int64 sign entirely. */
+    * encoding sidesteps int64 sign entirely.
+    *
+    * ONE-PASS shape: the whole fingerprint is a per-row Column fold
+    * (md5 once per distinct word, a 64-counter aggregate over the word
+    * array, nibble packing) — zero shuffle, zero row blow-up. The previous
+    * implementation exploded (doc, word) × 64 bits through two groupBys:
+    * correct and linear, but it shuffled ~64× the corpus word count. */
   def simhash(c: DataFrame): DataFrame = {
-    val words = c.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .distinct()
-    val bits = words
-      .select(col("doc_id"), col("w"),
-        explode(sequence(lit(0), lit(63))).as("b"))
-      .withColumn("contrib", when(expr(
-        "((instr('0123456789abcdef', substring(md5(w), CAST(b DIV 4 AS INT) + 1, 1)) - 1) DIV shiftleft(1, CAST(b % 4 AS INT))) % 2"
-      ) === 1, lit(1)).otherwise(lit(-1)))
-    val nibbles = bits.groupBy("doc_id", "b")
-      .agg(sum("contrib").as("s"))
-      .withColumn("bit_val",
-        when(col("s") > 0, expr("shiftleft(1, CAST(b % 4 AS INT))")).otherwise(lit(0)))
-      .groupBy(col("doc_id"), expr("CAST(b DIV 4 AS INT)").as("nib"))
-      .agg(sum("bit_val").as("nibv"))
-      .withColumn("hex",
-        expr("substring('0123456789abcdef', CAST(nibv AS INT) + 1, 1)"))
-    nibbles.groupBy("doc_id")
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("nib"), col("hex")))),
-        s => s.getField("hex")), "").as("simhash"))
+    // ±1 contribution vector (64 entries) of one word-hash hex string
+    def bitsOf(h: Column): Column =
+      transform(sequence(lit(0), lit(63)), b => {
+        val nib = conv(h.substr(floor(b / 4).cast("int") + 1, lit(1)), 16, 10)
+          .cast("int")
+        val m = pmod(b, lit(4))
+        val mask = when(m === 0, 1).when(m === 1, 2).when(m === 2, 4)
+          .otherwise(8)
+        when(nib.bitwiseAND(mask) > 0, 1).otherwise(-1)
+      })
+    val hashes = transform(array_distinct(split(col("text"), " ")), w => md5(w))
+    val counts = aggregate(hashes,
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, bitsOf(h), (a, x) => a + x))
+    val hex = transform(sequence(lit(0), lit(15)), nib => {
+      val nibv = (0 until 4).map { j =>
+        when(element_at(col("cnt"), nib * 4 + j + 1) > 0, lit(1 << j))
+          .otherwise(lit(0))
+      }.reduce(_ + _)
+      lit("0123456789abcdef").substr(nibv + 1, lit(1))
+    })
+    c.select(col("doc_id"), counts.as("cnt"))
+      .select(col("doc_id"), array_join(hex, "").as("simhash"))
   }
 }

@@ -329,13 +329,7 @@ SELECT ev_uri, '${Ns.atSomeTimeWithin}', lexical, FALSE, '',
             WHEN length(lexical) = 7 THEN '${Ns.xsdGYearMon}'
             WHEN length(lexical) IN (4,5) THEN '${Ns.xsdGYear}'
             ELSE '${Ns.xsdString}' END FROM evu"""),
-    "kg_quads" ->
-      (BASE + s"""SELECT
-  CASE WHEN regexp_extract(subj, '(conv_[0-9]+)', 1) <> ''
-       THEN '${Ns.conv}' || regexp_extract(subj, '(conv_[0-9]+)', 1)
-       ELSE '${Ns.kg}graph/uber' END AS graph,
-  subj, pred, obj_value, obj_is_iri, obj_lang, obj_dtype
-FROM all_triples"""),
+    "kg_quads" -> (BASE + quadSelect),
     "kg_agent_uris" ->
       (BASE + s"""SELECT DISTINCT surface,
   '${Ns.kg}agent/' || replace(surface, '#', '%23') AS agent_uri
@@ -576,6 +570,60 @@ SELECT DISTINCT * FROM (
 )"""
   }
 
+  /** Turtle/N3 export oracle (grouped statements + prefix header). */
+  private lazy val ttlQuery: String =
+    BASE + s""", rendered AS (
+  SELECT ${graft.io.Turtle.termSql("subj")} AS s,
+         ${graft.io.Turtle.termSql("pred")} || ' ' ||
+         CASE WHEN obj_is_iri THEN ${graft.io.Turtle.termSql("obj_value")}
+              WHEN obj_lang <> '' THEN '"' || ${graft.io.Turtle.escLitSql("obj_value")} || '"@' || obj_lang
+              WHEN obj_dtype <> '' THEN '"' || ${graft.io.Turtle.escLitSql("obj_value")} || '"^^' || ${graft.io.Turtle.termSql("obj_dtype")}
+              ELSE '"' || ${graft.io.Turtle.escLitSql("obj_value")} || '"' END AS po
+  FROM all_triples)
+SELECT line FROM (VALUES ${graft.io.Turtle.headerLines.map(l => s"('$l')").mkString(",")}) h(line)
+UNION ALL
+SELECT s || ' ' || string_agg(po, ' ; ' ORDER BY po) || ' .' FROM rendered GROUP BY s"""
+
+  /** The quad projection shared by kg_quads / TriX / BFS oracles. */
+  private val quadSelect: String =
+    s"""SELECT
+  CASE WHEN regexp_extract(subj, '(conv_[0-9]+)', 1) <> ''
+       THEN '${Ns.conv}' || regexp_extract(subj, '(conv_[0-9]+)', 1)
+       ELSE '${Ns.kg}graph/uber' END AS graph,
+  subj, pred, obj_value, obj_is_iri, obj_lang, obj_dtype
+FROM all_triples"""
+
+  /** TriX export oracle: per-quad graph elements (no grouping). */
+  private lazy val trixQuery: String = {
+    def e(x: String) = graft.io.Turtle.escXmlSql(x)
+    BASE + s""", qd AS ($quadSelect)
+SELECT line FROM (VALUES ('${graft.io.TriX.openTag.replace("'", "''")}'), ('${graft.io.TriX.closeTag}')) h(line)
+UNION ALL
+SELECT '<graph><uri>' || ${e("graph")} || '</uri><triple><uri>' || ${e("subj")} || '</uri><uri>' || ${e("pred")} || '</uri>' ||
+  CASE WHEN obj_is_iri THEN '<uri>' || ${e("obj_value")} || '</uri>'
+       WHEN obj_lang <> '' THEN '<plainLiteral xml:lang="' || obj_lang || '">' || ${e("obj_value")} || '</plainLiteral>'
+       WHEN obj_dtype <> '' THEN '<typedLiteral datatype="' || ${e("obj_dtype")} || '">' || ${e("obj_value")} || '</typedLiteral>'
+       ELSE '<plainLiteral>' || ${e("obj_value")} || '</plainLiteral>' END
+  || '</triple></graph>' AS line
+FROM qd"""
+  }
+
+  /** Huviz 3-level BFS oracle: 3 iterated frontier⋈triples joins. */
+  private lazy val quadsBfsQuery: String =
+    BASE + s""", q0 AS ($quadSelect),
+f0 AS (SELECT DISTINCT graph, obj_value AS subj FROM q0 WHERE obj_is_iri),
+l1 AS (SELECT f.graph, t.subj, t.pred, t.obj_value, t.obj_is_iri, t.obj_lang, t.obj_dtype
+       FROM f0 f JOIN all_triples t ON t.subj = f.subj),
+f1 AS (SELECT DISTINCT graph, obj_value AS subj FROM l1 WHERE obj_is_iri),
+l2 AS (SELECT f.graph, t.subj, t.pred, t.obj_value, t.obj_is_iri, t.obj_lang, t.obj_dtype
+       FROM f1 f JOIN all_triples t ON t.subj = f.subj),
+f2 AS (SELECT DISTINCT graph, obj_value AS subj FROM l2 WHERE obj_is_iri),
+l3 AS (SELECT f.graph, t.subj, t.pred, t.obj_value, t.obj_is_iri, t.obj_lang, t.obj_dtype
+       FROM f2 f JOIN all_triples t ON t.subj = f.subj)
+SELECT DISTINCT * FROM (
+  SELECT * FROM q0 UNION ALL SELECT * FROM l1
+  UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3)"""
+
   /** PA dictionary rows for the retry chain (mirrors Dicts.paRows). */
   private val paDictValues = Dicts.paRows
     .flatMap { case (rid, term, alts) => alts.map(a => s"($rid,'$term','$a')") }
@@ -681,18 +729,12 @@ WHERE prev IS NOT NULL""",
        ELSE l.obj_value END AS member_uri
 FROM linked l JOIN people_dict d ON d.uri = l.obj_value
 WHERE l.kind = 'person' AND l.matched"""),
-    "kg_ttl_lines" ->
-      (BASE + s""", rendered AS (
-  SELECT ${graft.io.Turtle.termSql("subj")} AS s,
-         ${graft.io.Turtle.termSql("pred")} || ' ' ||
-         CASE WHEN obj_is_iri THEN ${graft.io.Turtle.termSql("obj_value")}
-              WHEN obj_lang <> '' THEN '"' || ${graft.io.Turtle.escLitSql("obj_value")} || '"@' || obj_lang
-              WHEN obj_dtype <> '' THEN '"' || ${graft.io.Turtle.escLitSql("obj_value")} || '"^^' || ${graft.io.Turtle.termSql("obj_dtype")}
-              ELSE '"' || ${graft.io.Turtle.escLitSql("obj_value")} || '"' END AS po
-  FROM all_triples)
-SELECT line FROM (VALUES ${graft.io.Turtle.headerLines.map(l => s"('$l')").mkString(",")}) h(line)
-UNION ALL
-SELECT s || ' ' || string_agg(po, ' ; ' ORDER BY po) || ' .' FROM rendered GROUP BY s"""),
+    "kg_ttl_lines" -> ttlQuery,
+    // N3 ⊇ Turtle for plain graphs — the N3 exporter shares the Turtle
+    // renderer, so its oracle IS the Turtle oracle
+    "kg_n3_lines" -> ttlQuery,
+    "kg_trix_lines" -> trixQuery,
+    "kg_quads_bfs" -> quadsBfsQuery,
     "kg_nt_lines" ->
       (BASE + """SELECT '<' || subj || '> <' || pred || '> ' ||
   CASE WHEN obj_is_iri THEN '<' || obj_value || '>'
@@ -862,7 +904,7 @@ p AS (SELECT vec_id, i, x, t.pl,
         CASE WHEN strpos('0123456789abcdef',
                substr(md5(CAST(t.pl AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) % 2 = 1
              THEN 1.0 ELSE -1.0 END AS w
-      FROM d, range(0, 8) t(pl)),
+      FROM d, range(0, 16) t(pl)),
 proj AS (SELECT vec_id, pl, sum(w * x) AS proj FROM p GROUP BY 1, 2)
 SELECT vec_id,
   CAST(sum(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << CAST(pl AS INT)) ELSE 0 END) AS BIGINT) AS bucket
@@ -877,7 +919,7 @@ p AS (SELECT vec_id, i, x, t.pl,
         CASE WHEN strpos('0123456789abcdef',
                substr(md5(CAST(t.pl AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) % 2 = 1
              THEN 1.0 ELSE -1.0 END AS w
-      FROM d, range(0, 8) t(pl)),
+      FROM d, range(0, 16) t(pl)),
 proj AS (SELECT vec_id, pl, sum(w * x) AS proj FROM p GROUP BY 1, 2),
 buckets AS (
   SELECT vec_id,
@@ -886,9 +928,12 @@ buckets AS (
 nb AS (SELECT n.vec_id, n.v, n.nrm, b.bucket FROM n JOIN buckets b ON b.vec_id = n.vec_id),
 q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket FROM nb WHERE vec_id % 25 = 0),
 s AS (
+  -- OR-across-bands candidates (band = 8-bit slice of the 16-bit signature)
   SELECT q.query_id, nb.vec_id AS neighbor_id,
          list_dot_product(q.qv, nb.v) / (q.qn * nb.nrm) AS cos
-  FROM q JOIN nb ON nb.bucket = q.bucket AND nb.vec_id <> q.query_id),
+  FROM q JOIN nb ON (nb.bucket % 256 = q.bucket % 256
+                     OR nb.bucket // 256 = q.bucket // 256)
+                AND nb.vec_id <> q.query_id),
 r AS (SELECT query_id, neighbor_id,
         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
       FROM s)
@@ -906,16 +951,21 @@ p AS (SELECT vec_id, i, x, t.pl,
         CASE WHEN strpos('0123456789abcdef',
                substr(md5(CAST(t.pl AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) % 2 = 1
              THEN 1.0 ELSE -1.0 END AS w
-      FROM d, range(0, 8) t(pl)),
+      FROM d, range(0, 16) t(pl)),
 proj AS (SELECT vec_id, pl, sum(w * x) AS proj FROM p GROUP BY 1, 2),
 buckets AS (
   SELECT vec_id,
     CAST(sum(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << CAST(pl AS INT)) ELSE 0 END) AS BIGINT) AS bucket
   FROM proj GROUP BY vec_id),
-nb AS (SELECT n.vec_id, n.v, n.nrm, b.bucket FROM n JOIN buckets b ON b.vec_id = n.vec_id)
-SELECT l.vec_id AS a, r.vec_id AS b
-FROM nb l JOIN nb r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-WHERE list_dot_product(l.v, r.v) / (l.nrm * r.nrm) >= 0.999""",
+nb AS (SELECT n.vec_id, n.v, n.nrm, b.bucket FROM n JOIN buckets b ON b.vec_id = n.vec_id),
+bnd AS (SELECT vec_id, 0 AS band, bucket % 256 AS bkey FROM buckets
+        UNION ALL SELECT vec_id, 1, bucket // 256 FROM buckets),
+cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+         FROM bnd l JOIN bnd r ON l.band = r.band AND l.bkey = r.bkey
+                               AND l.vec_id < r.vec_id)
+SELECT c.a, c.b
+FROM cand c JOIN nb la ON la.vec_id = c.a JOIN nb rb ON rb.vec_id = c.b
+WHERE list_dot_product(la.v, rb.v) / (la.nrm * rb.nrm) >= 0.999""",
     "mm_features" -> """
 SELECT doc_id, strlen(text) AS n_bytes, strlen(text) % 640 AS width,
        (strlen(text) * 7) % 480 AS height, 3 AS channels,

@@ -43,6 +43,11 @@ class FnsSpec extends SparkSpec {
     // ligature folds (unidecode behavior)
     assert(evalStr(Fns.removePunctuation(lit("Œuvre cœur Ærø straße")))
       == "OEuvre_coeur_AEro_strasse")
+    // Latin Extended-A folds (unidecode rows a European corpus exercises)
+    assert(evalStr(Fns.removePunctuation(lit("Łódź Ĳssel Þing ŒdipĀ")))
+      == "Lodz_IJssel_Thing_OEdipA")
+    assert(evalStr(Fns.removePunctuation(lit("Ştefan Ţara Ŋgoro Ǧ")))
+      == "Stefan_Tara_Ngoro_Ǧ") // chars beyond Ext-A pass through, declared
   }
 
   test("limitWords reproduces utilities.py doctests") {
