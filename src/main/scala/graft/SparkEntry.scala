@@ -193,7 +193,11 @@ object SparkEntry {
     // §2.1 K2 TriX export: per-quad graph elements, zero-shuffle projection
     "kg_trix_lines" -> ((s, d) => io.TriX.export(io.Quads.export(Pipeline.triples(s, d)))),
     // §2.1 K4 Huviz 3-level BFS neighbor copy (huvizQuads.py:119-140)
-    "kg_quads_bfs" -> ((s, d) => io.Quads.bfs(Pipeline.triples(s, d)))
+    "kg_quads_bfs" -> ((s, d) => io.Quads.bfs(Pipeline.triples(s, d))),
+    // §3.3 modsBib origin/agent record shape: CIDOC Creation events with
+    // reified agent-role nodes, publisher roles, place + date of publication
+    "kg_works_agents" -> ((s, d) => operators.Works.agentTriples(
+      sources.Tables.orders(s, d), sources.Tables.customer(s, d)))
   )
 
   def oracleSql: Map[String, String] = OracleSql.queries

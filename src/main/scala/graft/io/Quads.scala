@@ -37,14 +37,20 @@ object Quads {
     * on the driver beyond the loop counter. Output: original quads ∪ the
     * copied levels, set semantics. */
   def bfs(triples: DataFrame): DataFrame = {
-    val quads = export(triples)
+    // the triple table feeds the quad base AND all 3 level joins — persist
+    // it once or every level recomputes the whole upstream pipeline
+    val t = triples.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val quads = export(t)
     val qCols = Seq(col("graph"), col("subj"), col("pred"), col("obj_value"),
       col("obj_is_iri"), col("obj_lang"), col("obj_dtype"))
     var frontier = quads.filter(col("obj_is_iri"))
       .select(col("graph"), col("obj_value").as("subj")).distinct()
     var acc = quads
     for (_ <- 1 to 3) {
-      val level = frontier.join(triples, "subj").select(qCols: _*)
+      // each level feeds TWO consumers (the union and the next frontier) —
+      // persist it or the level-join chain recomputes quadratically
+      val level = frontier.join(t, "subj").select(qCols: _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       acc = acc.unionAll(level)
       frontier = level.filter(col("obj_is_iri"))
         .select(col("graph"), col("obj_value").as("subj")).distinct()

@@ -120,6 +120,24 @@ object Ns {
   val unspecifiedReproHist   = pred + "unspecifiedReproductiveHistory"
   val burialEvent            = pred + "burialEvent"
 
+  // modsBib origin/agent record shape (Mods/modsBib.py:920-1060): CIDOC
+  // Creation events with reified agent-role nodes (PC14_carried_out_by)
+  val role        = kg + "role/"           // ROLES/MARCREL analog
+  val hasType     = pred + "P2_hasType"    // crm:P2_has_type
+  val hasCreated  = pred + "P94_hasCreated"
+  val hasRange    = pred + "P02_hasRange"  // crmpc:P02_has_range
+  val isDomainOf  = pred + "P01i_isDomainOf"
+  val inRoleOf    = pred + "P14_1_inRoleOf"
+  val tookPlaceAt = pred + "P7_tookPlaceAt"
+  val altLabel    = "http://www.w3.org/2004/02/skos/core#altLabel"
+  val tCreation   = kg + "type/Creation"          // crm:E65_Creation
+  val tProduction = kg + "type/ProductionEvent"
+  val tPublishing = kg + "type/PublishingEvent"
+  val tPC14       = kg + "type/PC14_carried_out_by"
+  val tPersonE21  = kg + "type/Person"            // crm:E21_Person
+  val tActor      = kg + "type/Actor"             // crm:E39_Actor
+  val tPlace      = kg + "type/Place"             // crm:E53_Place
+
   val xsdString   = "http://www.w3.org/2001/XMLSchema#string"
   val xsdInt      = "http://www.w3.org/2001/XMLSchema#int"
   val xsdDate     = "http://www.w3.org/2001/XMLSchema#date"

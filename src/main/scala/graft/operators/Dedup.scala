@@ -39,15 +39,16 @@ object Dedup {
     base.unionAll(near).unionAll(exact)
   }
 
-  /** Exact dedup: group by md5(text), keep the min doc_id of each group.
-    * Output: (doc_id, keep_id, group_n) — a doc is a duplicate iff
-    * doc_id != keep_id. Partial aggregation applies (hash-agg on md5). */
+  /** Exact dedup: hash the text ONCE, window over the hash — keep the min
+    * doc_id of each group. Output: (doc_id, keep_id, group_n) — a doc is a
+    * duplicate iff doc_id != keep_id. One shuffle (partitionBy text_hash),
+    * one md5 per row; the previous shape hashed twice and self-joined. */
   def exact(c: DataFrame): DataFrame = {
-    val g = c.groupBy(md5(col("text")).as("text_hash"))
-      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("group_n"))
+    val w = Window.partitionBy("text_hash")
     c.select(col("doc_id"), md5(col("text")).as("text_hash"))
-      .join(g, "text_hash")
-      .select(col("doc_id"), col("keep_id"), col("group_n"))
+      .withColumn("keep_id", min("doc_id").over(w))
+      .withColumn("group_n", count(lit(1)).over(w))
+      .select("doc_id", "keep_id", "group_n")
   }
 
   /** Word k-gram shingles: (doc_id, shingle), distinct per doc.

@@ -70,4 +70,113 @@ object Works {
         lit(true).as("obj_is_iri"), lit("").as("obj_lang"), lit("").as("obj_dtype"))
     typed.unionAll(author).unionAll(genres).unionAll(related)
   }
+
+  /** role_map verbatim (modsBib.py:380-392) — MODS role names → MARC
+    * relator codes; the last slot plays the reference's role=None path,
+    * which defaults to "author" (modsBib.py:995-997). */
+  val roleMap: Seq[(String, String)] = Seq(
+    "editor"       -> "edt",
+    "translator"   -> "trl",
+    "compiler"     -> "com",
+    "adapter"      -> "adp",
+    "contributor"  -> "ctb",
+    "illustrator"  -> "ill",
+    "introduction" -> "win",
+    "revised"      -> "edt",
+    "afterword"    -> "aft",
+    "transcriber"  -> "trc",
+    "author"       -> "aut") // the role=None → "author" default
+
+  /** The modsBib origin/agent record shape (`build_graph`,
+    * modsBib.py:920-1100): per bibliography record, a CIDOC Creation event
+    * (ProductionEvent + PublishingEvent types, "creation of <title>" label,
+    * P94_has_created → the work) carrying reified agent-role nodes
+    * (PC14_carried_out_by with P02_has_range → the person and
+    * P14.1_in_the_role_of → the MARC relator), a publisher role when the
+    * record has one, the place of publication resolved against the SAME
+    * place authority the mention pipeline links into (the GEOMAPPER
+    * analog), and the publication date as a typed literal.
+    *
+    * Synthetic field mapping: roleTerm ↔ o_orderkey % 11 over role_map
+    * (slot 10 = the None→author default), name type 'personal' vs
+    * corporate ↔ custkey % 10, o['publisher'] present ↔ o_orderkey % 4 ≠ 0,
+    * o['place'] present ↔ o_orderkey % 5 ≠ 0 (via the customer's nation),
+    * o['date'] ↔ o_orderdate.
+    *
+    * Scale: orders is the fact side and never shuffles — the only join is
+    * orders ⋈ broadcast(customer-slim) for the place lookup (the reference's
+    * GEOMAPPER is a dictionary); everything else is projection + distinct.
+    */
+  def agentTriples(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val ok = col("o_orderkey")
+    val ck = col("o_custkey")
+    val roleName = element_at(array(roleMap.map(r => lit(r._1)): _*),
+      (ok % 11).cast("int") + 1)
+    val roleCode = element_at(array(roleMap.map(r => lit(r._2)): _*),
+      (ok % 11).cast("int") + 1)
+    val slim = broadcast(customer.select(col("c_custkey").as("o_custkey"),
+      col("c_nationkey")))
+    val b = orders.join(slim, Seq("o_custkey"))
+      .withColumn("work_uri", concat(lit(Ns.work), ok.cast("string")))
+      .withColumn("origin_uri",
+        concat(lit(Ns.work), ok.cast("string"), lit("_activity_statement_0")))
+      .withColumn("person_uri", concat(lit(Ns.person), ck.cast("string")))
+      .withColumn("cname", concat(lit("Customer#"), lpad(ck.cast("string"), 9, "0")))
+      .withColumn("role_name", roleName)
+      .withColumn("agent_uri", concat(col("person_uri"), lit("_"), roleName))
+      .withColumn("role_uri", concat(lit(Ns.role), roleCode))
+      .withColumn("pub_name", concat(lit("Publisher_"), (ok % 7).cast("string")))
+      .withColumn("pub_uri", concat(lit(Ns.kg + "publisher/"), col("pub_name")))
+      .withColumn("pubrole_uri",
+        concat(lit(Ns.work), ok.cast("string"), lit("_publisher_role_0")))
+      .withColumn("place_uri",
+        concat(lit(Ns.place), col("c_nationkey").cast("string")))
+    def t(df: DataFrame, subj: org.apache.spark.sql.Column, pred: String,
+          obj: org.apache.spark.sql.Column, isIri: Boolean,
+          lang: String = "", dtype: String = "") =
+      df.select(subj.as("subj"), lit(pred).as("pred"), obj.as("obj_value"),
+        lit(isIri).as("obj_is_iri"), lit(lang).as("obj_lang"),
+        lit(dtype).as("obj_dtype"))
+    val o = col("origin_uri")
+    val origin =
+      t(b, o, Ns.rdfType, lit(Ns.tCreation), isIri = true)
+        .unionAll(t(b, o, Ns.hasType, lit(Ns.tProduction), isIri = true))
+        .unionAll(t(b, o, Ns.hasType, lit(Ns.tPublishing), isIri = true))
+        .unionAll(t(b, o, Ns.rdfsLabel,
+          concat(lit("creation of Work "), ok.cast("string")),
+          isIri = false, lang = "en"))
+        .unionAll(t(b, o, Ns.hasCreated, col("work_uri"), isIri = true))
+        .unionAll(t(b, o, Ns.atSomeTimeWithin,
+          col("o_orderdate").cast("string"), isIri = false,
+          dtype = Ns.xsdDate))
+    val personType = when(ck % 10 === 0, lit(Ns.tActor)) // corporate analog
+      .otherwise(lit(Ns.tPersonE21))
+    val agents =
+      t(b, col("person_uri"), Ns.rdfsLabel, col("cname"), isIri = false)
+        .unionAll(t(b, col("person_uri"), Ns.rdfType, personType, isIri = true))
+        .unionAll(t(b, col("agent_uri"), Ns.rdfsLabel,
+          concat(col("cname"), lit(" in role of "), col("role_name")),
+          isIri = false, lang = "en"))
+        .unionAll(t(b, col("agent_uri"), Ns.rdfType, lit(Ns.tPC14), isIri = true))
+        .unionAll(t(b, col("agent_uri"), Ns.hasRange, col("person_uri"), isIri = true))
+        .unionAll(t(b, col("agent_uri"), Ns.inRoleOf, col("role_uri"), isIri = true))
+        .unionAll(t(b, o, Ns.isDomainOf, col("agent_uri"), isIri = true))
+    val pub = b.filter(ok % 4 =!= 0)
+    val publishers =
+      t(pub, col("pub_uri"), Ns.rdfType, lit(Ns.tActor), isIri = true)
+        .unionAll(t(pub, col("pub_uri"), Ns.altLabel, col("pub_name"), isIri = false))
+        .unionAll(t(pub, col("pub_uri"), Ns.hasType, lit(Ns.role + "pbl"), isIri = true))
+        .unionAll(t(pub, col("pubrole_uri"), Ns.rdfsLabel,
+          concat(col("pub_name"), lit(" in the role of publisher")),
+          isIri = false, lang = "en"))
+        .unionAll(t(pub, col("pubrole_uri"), Ns.rdfType, lit(Ns.tPC14), isIri = true))
+        .unionAll(t(pub, col("pubrole_uri"), Ns.hasRange, col("pub_uri"), isIri = true))
+        .unionAll(t(pub, col("pubrole_uri"), Ns.inRoleOf, lit(Ns.role + "pbl"), isIri = true))
+        .unionAll(t(pub, o, Ns.isDomainOf, col("pubrole_uri"), isIri = true))
+    val pl = b.filter(ok % 5 =!= 0)
+    val places =
+      t(pl, o, Ns.tookPlaceAt, col("place_uri"), isIri = true)
+        .unionAll(t(pl, col("place_uri"), Ns.rdfType, lit(Ns.tPlace), isIri = true))
+    origin.unionAll(agents).unionAll(publishers).unionAll(places).distinct()
+  }
 }

@@ -624,12 +624,66 @@ SELECT DISTINCT * FROM (
   SELECT * FROM q0 UNION ALL SELECT * FROM l1
   UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3)"""
 
+  /** kg_works_agents: the modsBib origin/agent record-shape oracle. */
+  private lazy val worksAgentsQuery: String = {
+    val rmapValues = graft.operators.Works.roleMap.zipWithIndex
+      .map { case ((r, c), i) => s"($i,'$r','$c')" }.mkString(",")
+    s"""
+WITH rmap(i, role, code) AS (VALUES $rmapValues),
+b AS (
+  SELECT o_orderkey AS ok, o_custkey AS ck,
+         CAST(o_orderdate AS VARCHAR) AS od, c_nationkey AS nk, r.role, r.code
+  FROM orders JOIN customer ON c_custkey = o_custkey
+              JOIN rmap r ON r.i = o_orderkey % 11),
+b2 AS (
+  SELECT *,
+    '${Ns.work}' || CAST(ok AS VARCHAR) || '_activity_statement_0' AS origin_uri,
+    '${Ns.work}' || CAST(ok AS VARCHAR) AS work_uri,
+    '${Ns.person}' || CAST(ck AS VARCHAR) AS person_uri,
+    'Customer#' || lpad(CAST(ck AS VARCHAR), 9, '0') AS cname,
+    '${Ns.person}' || CAST(ck AS VARCHAR) || '_' || role AS agent_uri,
+    '${Ns.role}' || code AS role_uri,
+    'Publisher_' || CAST(ok % 7 AS VARCHAR) AS pub_name,
+    '${Ns.kg}publisher/Publisher_' || CAST(ok % 7 AS VARCHAR) AS pub_uri,
+    '${Ns.work}' || CAST(ok AS VARCHAR) || '_publisher_role_0' AS pubrole_uri,
+    '${Ns.place}' || CAST(nk AS VARCHAR) AS place_uri
+  FROM b)
+SELECT DISTINCT * FROM (
+  SELECT origin_uri AS subj, '${Ns.rdfType}' AS pred, '${Ns.tCreation}' AS obj_value,
+         TRUE AS obj_is_iri, '' AS obj_lang, '' AS obj_dtype FROM b2
+  UNION ALL SELECT origin_uri, '${Ns.hasType}', '${Ns.tProduction}', TRUE, '', '' FROM b2
+  UNION ALL SELECT origin_uri, '${Ns.hasType}', '${Ns.tPublishing}', TRUE, '', '' FROM b2
+  UNION ALL SELECT origin_uri, '${Ns.rdfsLabel}', 'creation of Work ' || CAST(ok AS VARCHAR), FALSE, 'en', '' FROM b2
+  UNION ALL SELECT origin_uri, '${Ns.hasCreated}', work_uri, TRUE, '', '' FROM b2
+  UNION ALL SELECT origin_uri, '${Ns.atSomeTimeWithin}', od, FALSE, '', '${Ns.xsdDate}' FROM b2
+  UNION ALL SELECT person_uri, '${Ns.rdfsLabel}', cname, FALSE, '', '' FROM b2
+  UNION ALL SELECT person_uri, '${Ns.rdfType}',
+            CASE WHEN ck % 10 = 0 THEN '${Ns.tActor}' ELSE '${Ns.tPersonE21}' END, TRUE, '', '' FROM b2
+  UNION ALL SELECT agent_uri, '${Ns.rdfsLabel}', cname || ' in role of ' || role, FALSE, 'en', '' FROM b2
+  UNION ALL SELECT agent_uri, '${Ns.rdfType}', '${Ns.tPC14}', TRUE, '', '' FROM b2
+  UNION ALL SELECT agent_uri, '${Ns.hasRange}', person_uri, TRUE, '', '' FROM b2
+  UNION ALL SELECT agent_uri, '${Ns.inRoleOf}', role_uri, TRUE, '', '' FROM b2
+  UNION ALL SELECT origin_uri, '${Ns.isDomainOf}', agent_uri, TRUE, '', '' FROM b2
+  UNION ALL SELECT pub_uri, '${Ns.rdfType}', '${Ns.tActor}', TRUE, '', '' FROM b2 WHERE ok % 4 <> 0
+  UNION ALL SELECT pub_uri, '${Ns.altLabel}', pub_name, FALSE, '', '' FROM b2 WHERE ok % 4 <> 0
+  UNION ALL SELECT pub_uri, '${Ns.hasType}', '${Ns.role}pbl', TRUE, '', '' FROM b2 WHERE ok % 4 <> 0
+  UNION ALL SELECT pubrole_uri, '${Ns.rdfsLabel}', pub_name || ' in the role of publisher', FALSE, 'en', '' FROM b2 WHERE ok % 4 <> 0
+  UNION ALL SELECT pubrole_uri, '${Ns.rdfType}', '${Ns.tPC14}', TRUE, '', '' FROM b2 WHERE ok % 4 <> 0
+  UNION ALL SELECT pubrole_uri, '${Ns.hasRange}', pub_uri, TRUE, '', '' FROM b2 WHERE ok % 4 <> 0
+  UNION ALL SELECT pubrole_uri, '${Ns.inRoleOf}', '${Ns.role}pbl', TRUE, '', '' FROM b2 WHERE ok % 4 <> 0
+  UNION ALL SELECT origin_uri, '${Ns.isDomainOf}', pubrole_uri, TRUE, '', '' FROM b2 WHERE ok % 4 <> 0
+  UNION ALL SELECT origin_uri, '${Ns.tookPlaceAt}', place_uri, TRUE, '', '' FROM b2 WHERE ok % 5 <> 0
+  UNION ALL SELECT place_uri, '${Ns.rdfType}', '${Ns.tPlace}', TRUE, '', '' FROM b2 WHERE ok % 5 <> 0
+)"""
+  }
+
   /** PA dictionary rows for the retry chain (mirrors Dicts.paRows). */
   private val paDictValues = Dicts.paRows
     .flatMap { case (rid, term, alts) => alts.map(a => s"($rid,'$term','$a')") }
     .mkString(",")
 
   private lazy val extraQueries: Map[String, String] = Map(
+    "kg_works_agents" -> worksAgentsQuery,
     "kg_names" -> namesQuery,
     "kg_titles" -> titlesQuery,
     "kg_writing" -> writingQuery,
