@@ -197,7 +197,13 @@ object SparkEntry {
     // §3.3 modsBib origin/agent record shape: CIDOC Creation events with
     // reified agent-role nodes, publisher roles, place + date of publication
     "kg_works_agents" -> ((s, d) => operators.Works.agentTriples(
-      sources.Tables.orders(s, d), sources.Tables.customer(s, d)))
+      sources.Tables.orders(s, d), sources.Tables.customer(s, d))),
+    // reviewTerms.py: vocabulary-label lookup over the data graph's URIs
+    "kg_labels" -> ((s, d) =>
+      operators.Metrics.labelLookup(Pipeline.triples(s, d))),
+    // Utils/citation.py: BIBCIT citation nodes (REF + temp branches)
+    "kg_citations" -> ((s, d) =>
+      operators.Profiles.citationTriples(Pipeline.transcripts(s, d)))
   )
 
   def oracleSql: Map[String, String] = OracleSql.queries

@@ -138,6 +138,13 @@ object Ns {
   val tActor      = kg + "type/Actor"             // crm:E39_Actor
   val tPlace      = kg + "type/Place"             // crm:E53_Place
 
+  // BIBCIT citation nodes (Utils/citation.py:27-60)
+  val refersTo        = pred + "P67_refersTo"
+  val referredToBy    = pred + "P67i_referredToBy"
+  val symbolicContent = pred + "P190_hasSymbolicContent"
+  val tLinguisticObj  = kg + "type/LinguisticObject" // crm:E33
+  val tCitation       = kg + "type/Citation"         // cito:Citation
+
   val xsdString   = "http://www.w3.org/2001/XMLSchema#string"
   val xsdInt      = "http://www.w3.org/2001/XMLSchema#int"
   val xsdDate     = "http://www.w3.org/2001/XMLSchema#date"

@@ -51,6 +51,33 @@ object Metrics {
     preds.unionAll(types).distinct()
       .withColumn("known", col("term").isin(Vocabulary.terms: _*))
   }
+
+  /** Vocabulary-label lookup (`Biography/reviewTerms.py:35-63`): collect
+    * every URI the data graph uses in the vocabulary namespaces — SUBJECT
+    * and OBJECT positions, like get_unique_uris — and join the vocabulary
+    * graph's English labels onto them; URIs without a vocab label are the
+    * reference's warn path and emit nothing (here: occupation-namespace
+    * terms, absent from the enumerated vocabulary). A broadcast semi-join
+    * over the distinct URI set — the data side aggregates to its distinct
+    * vocabulary URIs before any join. */
+  def labelLookup(triples: DataFrame): DataFrame = {
+    import graft.model.Ns
+    val namespaces = Seq(Ns.kg + "type/", Ns.occ)
+    def inNs(c: org.apache.spark.sql.Column) =
+      namespaces.map(ns => c.startsWith(ns)).reduce(_ || _)
+    val uris = triples.select(col("subj").as("uri")).filter(inNs(col("uri")))
+      .unionAll(triples.filter(col("obj_is_iri") && inNs(col("obj_value")))
+        .select(col("obj_value").as("uri")))
+      .distinct()
+    val spark = triples.sparkSession
+    import spark.implicits._
+    val vocab = broadcast(Vocabulary.labels.toDF("uri", "label"))
+    uris.join(vocab, Seq("uri"))
+      .select(col("uri").as("subj"),
+        lit(Ns.rdfsLabel).as("pred"), col("label").as("obj_value"),
+        lit(false).as("obj_is_iri"), lit("en").as("obj_lang"),
+        lit("").as("obj_dtype"))
+  }
 }
 
 /** The engine's fixed term vocabulary — the ontology the validator checks
@@ -67,4 +94,10 @@ object Vocabulary {
     // emitted by standalone operators (Extras), outside Pipeline.triples
     Ns.pred + "employedAt", Ns.pred + "childrenCount", Ns.pred + "knowsWriter",
     Ns.tPerson, Ns.tContext, Ns.tActivity, Ns.tTimeSpan, Ns.tEvent, Ns.tWork)
+
+  /** English vocabulary labels (the analog of the reviewTerms vocab ttl
+    * files): the camelCase-split local name of each term. */
+  val labels: Seq[(String, String)] = terms.map { t =>
+    (t, t.split("[/#]").last.replaceAll("([a-z])([A-Z])", "$1 $2"))
+  }
 }

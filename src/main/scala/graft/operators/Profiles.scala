@@ -102,4 +102,47 @@ object Profiles {
         .unionAll(t(burial, convUri, Ns.burialEvent, col("ev_uri"), isIri = true))
     cats.unionAll(unspecified).unionAll(burialTriples).distinct()
   }
+
+  /** BIBCIT citation nodes (`Utils/citation.py:27-60`, wired per context at
+    * `Utils/context.py:318-321`): each citation mints a node typed
+    * E33_Linguistic_Object + cito:Citation, labelled "Citation for
+    * <target>", pointing back at its citing entity and carrying the page
+    * as P190 symbolic content. The REF-present and REF-missing branches
+    * both replay, INCLUDING the reference's asymmetry: the REF path builds
+    * its node from the CLEANED placeholder suffix
+    * (remove_punctuation(strip_all_whitespace(...)), citation.py:41-45)
+    * while the temp path uses the RAW DBREF (citation.py:48-50).
+    *
+    * Graft mapping: a tool-role turn plays a BIBCIT tag of its
+    * conversation; DBREF = the tool id; REF present ↔ tool index ≥ 3
+    * (pointing at a work); page = the turn index. Pure projection. */
+  def citationTriples(tr: DataFrame): DataFrame = {
+    val k = substring(col("tool"), 6, 10).cast("int")
+    val suffix = Fns.removePunctuation(Fns.stripAllWhitespace(col("tool")))
+    val hasRef = k >= 3
+    val refUri = concat(lit(Ns.work), k.cast("string"))
+    val b = tr.filter(col("role") === "tool" && col("tool") =!= "")
+      .withColumn("cite_uri",
+        when(hasRef, concat(refUri, lit("_dbref_"), suffix))
+          .otherwise(concat(lit(Ns.kg + "temp/dbref_"), col("tool"))))
+      .withColumn("citing_uri",
+        when(hasRef, refUri)
+          .otherwise(concat(lit(Ns.kg + "temp/"), col("tool"))))
+      .withColumn("conv_uri", concat(lit(Ns.conv), col("conv_id")))
+    def t(subj: org.apache.spark.sql.Column, pred: String,
+          obj: org.apache.spark.sql.Column, isIri: Boolean, lang: String = "") =
+      b.select(subj.as("subj"), lit(pred).as("pred"), obj.as("obj_value"),
+        lit(isIri).as("obj_is_iri"), lit(lang).as("obj_lang"),
+        lit("").as("obj_dtype"))
+    val c = col("cite_uri")
+    t(col("conv_uri"), Ns.refersTo, c, isIri = true)
+      .unionAll(t(c, Ns.rdfType, lit(Ns.tLinguisticObj), isIri = true))
+      .unionAll(t(c, Ns.rdfType, lit(Ns.tCitation), isIri = true))
+      .unionAll(t(c, Ns.rdfsLabel,
+        concat(lit("Citation for "), col("conv_id")), isIri = false, lang = "en"))
+      .unionAll(t(c, Ns.referredToBy, col("citing_uri"), isIri = true))
+      .unionAll(t(c, Ns.symbolicContent,
+        col("turn_idx").cast("string"), isIri = false))
+      .distinct()
+  }
 }

@@ -677,6 +677,47 @@ SELECT DISTINCT * FROM (
 )"""
   }
 
+  /** kg_labels: reviewTerms.py vocabulary-label lookup oracle. */
+  private lazy val labelsQuery: String = {
+    val vocabValues = graft.operators.Vocabulary.labels
+      .map { case (u, l) => s"('$u','$l')" }.mkString(",")
+    BASE + s""", vocab(uri, label) AS (VALUES $vocabValues),
+duris AS (
+  SELECT DISTINCT uri FROM (
+    SELECT subj AS uri FROM all_triples
+    UNION ALL
+    SELECT obj_value FROM all_triples WHERE obj_is_iri)
+  WHERE starts_with(uri, '${Ns.kg}type/') OR starts_with(uri, '${Ns.occ}'))
+SELECT d.uri AS subj, '${Ns.rdfsLabel}' AS pred, v.label AS obj_value,
+       FALSE AS obj_is_iri, 'en' AS obj_lang, '' AS obj_dtype
+FROM duris d JOIN vocab v ON v.uri = d.uri"""
+  }
+
+  /** kg_citations: BIBCIT citation-node oracle (tool domain: the cleaned
+    * placeholder suffix reduces to dropping the underscore). */
+  private lazy val citationsQuery: String =
+    BASE + s""", cit AS (
+  SELECT conv_id, turn_idx, tool, CAST(substr(tool, 6) AS INT) AS k,
+         replace(tool, '_', '') AS suffix
+  FROM tr WHERE role = 'tool' AND tool <> ''),
+c2 AS (
+  SELECT *,
+    CASE WHEN k >= 3 THEN '${Ns.work}' || CAST(k AS VARCHAR) || '_dbref_' || suffix
+         ELSE '${Ns.kg}temp/dbref_' || tool END AS cite_uri,
+    CASE WHEN k >= 3 THEN '${Ns.work}' || CAST(k AS VARCHAR)
+         ELSE '${Ns.kg}temp/' || tool END AS citing_uri,
+    '${Ns.conv}' || conv_id AS conv_uri
+  FROM cit)
+SELECT DISTINCT * FROM (
+  SELECT conv_uri AS subj, '${Ns.refersTo}' AS pred, cite_uri AS obj_value,
+         TRUE AS obj_is_iri, '' AS obj_lang, '' AS obj_dtype FROM c2
+  UNION ALL SELECT cite_uri, '${Ns.rdfType}', '${Ns.tLinguisticObj}', TRUE, '', '' FROM c2
+  UNION ALL SELECT cite_uri, '${Ns.rdfType}', '${Ns.tCitation}', TRUE, '', '' FROM c2
+  UNION ALL SELECT cite_uri, '${Ns.rdfsLabel}', 'Citation for ' || conv_id, FALSE, 'en', '' FROM c2
+  UNION ALL SELECT cite_uri, '${Ns.referredToBy}', citing_uri, TRUE, '', '' FROM c2
+  UNION ALL SELECT cite_uri, '${Ns.symbolicContent}', CAST(turn_idx AS VARCHAR), FALSE, '', '' FROM c2
+)"""
+
   /** PA dictionary rows for the retry chain (mirrors Dicts.paRows). */
   private val paDictValues = Dicts.paRows
     .flatMap { case (rid, term, alts) => alts.map(a => s"($rid,'$term','$a')") }
@@ -684,6 +725,8 @@ SELECT DISTINCT * FROM (
 
   private lazy val extraQueries: Map[String, String] = Map(
     "kg_works_agents" -> worksAgentsQuery,
+    "kg_labels" -> labelsQuery,
+    "kg_citations" -> citationsQuery,
     "kg_names" -> namesQuery,
     "kg_titles" -> titlesQuery,
     "kg_writing" -> writingQuery,

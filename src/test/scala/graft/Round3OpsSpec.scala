@@ -84,6 +84,23 @@ class Round3OpsSpec extends SparkSpec {
     assert(!got.exists(_.obj_value == "weaver"), "only the FIRST system turn is the summary")
   }
 
+  test("citations: REF path uses the CLEANED suffix, temp path the RAW dbref") {
+    val t = Seq(
+      ("c1", 0, "tool", "cited text.", "tool_4", ts),
+      ("c1", 1, "tool", "cited text.", "tool_1", ts))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val got = Profiles.citationTriples(t).as[model.Triple].collect().toSet
+    // REF present (k≥3): node = REF + "_dbref_" + remove_punctuation suffix
+    val refCite = Ns.work + "4_dbref_tool4"
+    assert(got.contains(model.Triple(Ns.conv + "c1", Ns.refersTo, refCite, true, "", "")))
+    assert(got.contains(model.Triple(refCite, Ns.referredToBy, Ns.work + "4", true, "", "")))
+    // REF missing: node from the RAW DBREF (citation.py:48-50 asymmetry)
+    val tmpCite = Ns.kg + "temp/dbref_tool_1"
+    assert(got.contains(model.Triple(tmpCite, Ns.referredToBy, Ns.kg + "temp/tool_1", true, "", "")))
+    assert(got.contains(model.Triple(tmpCite, Ns.rdfType, Ns.tCitation, true, "", "")))
+    assert(got.contains(model.Triple(refCite, Ns.symbolicContent, "0", false, "", "")))
+  }
+
   test("lifeinfo: keyword categories, unspecified fallback, burial events") {
     val t = tr(
       ("c1", 0, "user", "spoke while discussing adoption."),
