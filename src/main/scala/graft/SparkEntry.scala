@@ -84,6 +84,10 @@ object SparkEntry {
     "ann_lsh_search" -> ((s, d) => operators.Ann.lshSearch(sources.Tables.embeddings(s, d))),
     // embedding-cosine near-duplicate pairs
     "emb_neardup" -> ((s, d) => operators.Ann.nearDupPairs(sources.Tables.embeddings(s, d))),
+    // IVF coarse-quantizer cell assignment (deterministic Lloyd-refined centroids)
+    "ann_ivf_cells" -> ((s, d) => operators.Ann.ivfCells(sources.Tables.embeddings(s, d))),
+    // IVF-flat probed search (NumProbe nearest cells scanned per query)
+    "ann_ivf_search" -> ((s, d) => operators.Ann.ivfSearch(sources.Tables.embeddings(s, d))),
     // multimodal binary-column featurization (relational twin of the kernel)
     "mm_features" -> ((s, d) => operators.Multimodal.featurizeRelational(sources.Tables.documents(s, d))),
     // gap sessionization (batch twin of the streaming stateful op)

@@ -37,24 +37,31 @@ object Quads {
     * on the driver beyond the loop counter. Output: original quads ∪ the
     * copied levels, set semantics. */
   def bfs(triples: DataFrame): DataFrame = {
-    // the triple table feeds the quad base AND all 3 level joins — persist
-    // it once or every level recomputes the whole upstream pipeline
+    // the triple table feeds the quad base AND the copy join — persist it
+    // once or every consumer recomputes the whole upstream pipeline
     val t = triples.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val quads = export(t)
-    val qCols = Seq(col("graph"), col("subj"), col("pred"), col("obj_value"),
-      col("obj_is_iri"), col("obj_lang"), col("obj_dtype"))
+    // Frontier expansion factors through the DISTINCT IRI edge set: level
+    // k+1's frontier = distinct (graph, obj) of frontier_k ⋈ triples, which
+    // equals frontier_k ⋈ edges — so expand over the slim (subj, dst) edge
+    // relation (O(distinct entity links), a fraction of the triple table)
+    // and join the FULL triple table exactly ONCE at the end to copy the
+    // statements of every reached node. Replaces 3 wide 7-column
+    // frontier⋈triples joins with 2 slim 2-column hops + 1 copy join.
+    val edges = t.filter(col("obj_is_iri"))
+      .select(col("subj"), col("obj_value").as("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var frontier = quads.filter(col("obj_is_iri"))
       .select(col("graph"), col("obj_value").as("subj")).distinct()
-    var acc = quads
-    for (_ <- 1 to 3) {
-      // each level feeds TWO consumers (the union and the next frontier) —
-      // persist it or the level-join chain recomputes quadratically
-      val level = frontier.join(t, "subj").select(qCols: _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      acc = acc.unionAll(level)
-      frontier = level.filter(col("obj_is_iri"))
-        .select(col("graph"), col("obj_value").as("subj")).distinct()
+    var reached = frontier
+    for (_ <- 1 to 2) { // levels 2 and 3 start from level 1's frontier
+      frontier = frontier.join(edges, "subj")
+        .select(col("graph"), col("dst").as("subj")).distinct()
+      reached = reached.unionAll(frontier)
     }
-    acc.distinct()
+    val copied = reached.distinct().join(t, "subj")
+      .select(col("graph"), col("subj"), col("pred"), col("obj_value"),
+        col("obj_is_iri"), col("obj_lang"), col("obj_dtype"))
+    quads.unionAll(copied).distinct()
   }
 }

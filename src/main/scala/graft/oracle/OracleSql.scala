@@ -1067,7 +1067,61 @@ WHERE list_dot_product(la.v, rb.v) / (la.nrm * rb.nrm) >= 0.999""",
 SELECT doc_id, strlen(text) AS n_bytes, strlen(text) % 640 AS width,
        (strlen(text) * 7) % 480 AS height, 3 AS channels,
        substr(md5(text), 1, 8) AS sig
-FROM documents""")
+FROM documents""",
+    "ann_ivf_cells" -> (ivfCommon + "SELECT vec_id, cell FROM cells"),
+    "ann_ivf_search" -> (ivfCommon + s""",
+probes AS (SELECT vec_id AS query_id, cell FROM asg
+           WHERE vec_id % 25 = 0 AND rn <= ${graft.operators.Ann.NumProbe}),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 25 = 0),
+pcand AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id
+  FROM probes p JOIN cells c ON c.cell = p.cell
+  WHERE c.vec_id <> p.query_id),
+sc AS (
+  SELECT pcand.query_id, pcand.neighbor_id,
+         list_dot_product(q.qv, n.v) / (q.qn * n.nrm) AS cos
+  FROM pcand JOIN q ON q.query_id = pcand.query_id
+             JOIN n ON n.vec_id = pcand.neighbor_id),
+r AS (SELECT query_id, neighbor_id,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM sc)
+SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5"""))
+
+  /** IVF centroid CTEs (mirrors Ann.centroids exactly): seed vectors =
+    * vec_id < NumCells, ONE Lloyd iteration over the vec_id % TrainMod
+    * sample; every float reduction is sequential in ascending (vec_id, dim)
+    * order (list_sum over list(ORDER BY ...)) so Spark's driver-side
+    * centroids reproduce bit-for-bit. */
+  private lazy val ivfCommon: String = {
+    val nc = graft.operators.Ann.NumCells
+    val tm = graft.operators.Ann.TrainMod
+    s"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+seeds AS (SELECT vec_id AS cell, v AS sv, sqrt(list_dot_product(v, v)) AS snrm
+          FROM e WHERE vec_id < $nc),
+tr0 AS (SELECT vec_id, v FROM e WHERE vec_id % $tm = 0),
+ta AS (SELECT t.vec_id, t.v, s.cell,
+        row_number() OVER (PARTITION BY t.vec_id
+                           ORDER BY list_dot_product(t.v, s.sv) / s.snrm DESC, s.cell ASC) AS rn
+       FROM tr0 t CROSS JOIN seeds s),
+tm1 AS (SELECT vec_id, v, cell FROM ta WHERE rn = 1),
+td AS (SELECT cell, vec_id, i, v[i] AS x
+       FROM (SELECT cell, vec_id, v, unnest(range(1, len(v) + 1)) AS i FROM tm1)),
+csum AS (SELECT cell, i, list_sum(list(x ORDER BY vec_id)) AS sx, count(*) AS cnt
+         FROM td GROUP BY 1, 2),
+cmean AS (SELECT cell, list(sx / cnt ORDER BY i) AS cv FROM csum GROUP BY 1),
+cent AS (SELECT s.cell, coalesce(m.cv, s.sv) AS cv
+         FROM seeds s LEFT JOIN cmean m ON m.cell = s.cell),
+cn AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM cent),
+asg AS (SELECT n.vec_id, c.cell,
+         row_number() OVER (PARTITION BY n.vec_id
+                            ORDER BY list_dot_product(n.v, c.cv) / c.cnrm DESC, c.cell ASC) AS rn
+        FROM n CROSS JOIN cn c),
+cells AS (SELECT vec_id, cell FROM asg WHERE rn = 1)"""
+  }
 
   // ----- events: sessionization + windowed agg -----
 
