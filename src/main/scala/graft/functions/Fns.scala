@@ -19,13 +19,19 @@ object Fns {
     * Applied to BOTH sides of every dictionary link (J1 in SURVEY.md §2.3).
     */
   def cleanTerm(c: Column): Column = {
+    // Each stage references its predecessor exactly ONCE (anchored regex
+    // replace ≡ the conditional-substr formulation): the previous
+    // when/substr pyramid re-expanded each stage ~4-5×, compounding to an
+    // ~80× textual blow-up of the normalize chain — which pushed the
+    // linking stage's generated code past janino's 64 KB method limit and
+    // silently disabled whole-stage codegen for the ENTIRE extract+link
+    // plan (the hot path of every kg query).
     val t0 = regexp_replace(trim(regexp_replace(lower(c), "-", " ")), " ", "")
-    val t1 = when(t0.endsWith("s"), t0.substr(lit(1), length(t0) - 1)).otherwise(t0)
-    val suf3 = t1.substr(length(t1) - 2, lit(3))
-    val t2 = when(length(t1) >= 3 && suf3.isin("ism", "ist", "ing"),
-      t1.substr(lit(1), length(t1) - 3)).otherwise(t1)
-    val t3 = when(t2.endsWith("er"), t2.substr(lit(1), length(t2) - 2)).otherwise(t2)
-    t3
+    val t1 = regexp_replace(t0, "s$", "") // drop ONE trailing s
+    // a 3-char suffix can only match when length >= 3, so the old length
+    // guard is implied ("ism" itself strips to "")
+    val t2 = regexp_replace(t1, "(ism|ist|ing)$", "")
+    regexp_replace(t2, "er$", "")
   }
 
   /** The simple normalizer variant used by occupation/birth-death linking
@@ -40,14 +46,13 @@ object Fns {
     * deterministic and byte-stable. The reference keeps "-" (its v2
     * comment at utilities.py:311), strips other ASCII punctuation, maps
     * " "→"_", "¾"→"3-4", "©"→"c", "Ã"→"A", then unidecode-folds.
-    * We implement the punctuation strip + the explicit fold table; the
-    * general unidecode table is reduced to the Latin-1 accent folds that
-    * can actually occur in our value domain (translate() below).
+    * We implement the punctuation strip + an explicit fold table covering
+    * Latin-1/Latin-Extended-A accents, ligatures, and unidecode-style
+    * Cyrillic + Greek transliteration; scripts beyond these (CJK) pass
+    * through, declared in SURVEY §2.0.1.
     */
   /** Accent-fold pairs, built pairwise so from/to can never misalign.
-    * Covers Latin-1 Supplement AND Latin Extended-A (the unidecode rows a
-    * European-language corpus actually exercises — CJK/Cyrillic would need
-    * a transliteration table, declared out of scope in SURVEY §2.0.1). */
+    * Covers Latin-1 Supplement AND Latin Extended-A. */
   private val foldPairs: Seq[(Char, Char)] =
     ("ÃA ÀA ÁA ÂA ÄA àa áa âa äa ÈE ÉE ÊE ËE èe ée êe ëe ÌI ÍI ÎI ÏI ìi íi îi ïi " +
      "ÒO ÓO ÔO ÖO òo óo ôo öo ÙU ÚU ÛU ÜU ùu úu ûu üu ÑN ñn ÇC çc ØO øo ÅA åa ÝY ýy ÿy " +
@@ -61,14 +66,48 @@ object Fns {
      "ŴW ŵw ŶY ŷy ŸY ŹZ źz ŻZ żz ŽZ žz")
       .split(" ").toSeq.map(p => (p(0), p(1)))
 
+  /** Unidecode-style MULTI-char transliterations (one-to-many maps can't
+    * ride `translate`): ligatures, Cyrillic digraph letters (GOST-style,
+    * the rows unidecode emits for Russian), and Greek digraph letters.
+    * Config-sized, so the regexp_replace chain stays plan-bounded; the
+    * 1:1 bulk rides a single `translate` below. */
+  private val multiFolds: Seq[(String, String)] = Seq(
+    "¾" -> "3-4", "©" -> "c", "œ" -> "oe", "Œ" -> "OE",
+    "æ" -> "ae", "Æ" -> "AE", "ß" -> "ss",
+    "Ĳ" -> "IJ", "ĳ" -> "ij", "Þ" -> "Th", "þ" -> "th", "ŉ" -> "'n",
+    // Cyrillic digraphs (upper then lower)
+    "Ж" -> "Zh", "ж" -> "zh", "Х" -> "Kh", "х" -> "kh", "Ц" -> "Ts",
+    "ц" -> "ts", "Ч" -> "Ch", "ч" -> "ch", "Ш" -> "Sh", "ш" -> "sh",
+    "Щ" -> "Shch", "щ" -> "shch", "Ю" -> "Iu", "ю" -> "iu",
+    "Я" -> "Ia", "я" -> "ia",
+    // Greek digraphs
+    "Θ" -> "Th", "θ" -> "th", "Φ" -> "Ph", "φ" -> "ph",
+    "Ψ" -> "Ps", "ψ" -> "ps", "Χ" -> "Kh", "χ" -> "kh")
+  /** One-to-one transliterations ride the same `translate` as the accent
+    * folds. Hard/soft signs (\u044a/\u044c/\u042a/\u042c) are DELETED
+    * (translate drops chars of `from` beyond `to`'s length, so they sit at
+    * the tail of the from-string). */
+  private val cyrGreekPairs: Seq[(Char, Char)] =
+    ("\u0410A \u0430a \u0411B \u0431b \u0412V \u0432v \u0413G \u0433g \u0414D \u0434d " +
+     "\u0415E \u0435e \u0401E \u0451e \u0417Z \u0437z \u0418I \u0438i \u0419I \u0439i " +
+     "\u041aK \u043ak \u041bL \u043bl \u041cM \u043cm \u041dN \u043dn \u041eO \u043eo " +
+     "\u041fP \u043fp \u0420R \u0440r \u0421S \u0441s \u0422T \u0442t \u0423U \u0443u " +
+     "\u0424F \u0444f \u042bY \u044by \u042dE \u044de " +
+     "\u0391A \u03b1a \u0392B \u03b2b \u0393G \u03b3g \u0394D \u03b4d \u0395E \u03b5e " +
+     "\u0396Z \u03b6z \u0397E \u03b7e \u0399I \u03b9i \u039aK \u03bak \u039bL \u03bbl " +
+     "\u039cM \u03bcm \u039dN \u03bdn \u039eX \u03bex \u039fO \u03bfo \u03a0P \u03c0p " +
+     "\u03a1R \u03c1r \u03a3S \u03c3s \u03c2s \u03a4T \u03c4t \u03a5U \u03c5u \u03a9O \u03c9o " +
+     "\u03aca \u03ade \u03aee \u03afi \u03cco \u03cdu \u03ceo \u03cai \u03cbu \u0390i \u03b0u " +
+     "\u0386A \u0388E \u0389E \u038aI \u038cO \u038eU \u038fO \u03aaI \u03abU")
+      .split(" ").toSeq.map(p => (p(0), p(1)))
+  private val delChars = "\u044a\u044c\u042a\u042c" // hard/soft signs, deleted
+
   def removePunctuation(c: Column): Column = {
-    // multi-char folds (unidecode ligature behavior) before translate:
-    val pre = Seq("¾" -> "3-4", "©" -> "c", "œ" -> "oe", "Œ" -> "OE",
-      "æ" -> "ae", "Æ" -> "AE", "ß" -> "ss",
-      "Ĳ" -> "IJ", "ĳ" -> "ij", "Þ" -> "Th", "þ" -> "th", "ŉ" -> "'n")
-      .foldLeft(c) { case (acc, (from, to)) => regexp_replace(acc, from, to) }
-    val folded2 = translate(pre,
-      foldPairs.map(_._1).mkString, foldPairs.map(_._2).mkString)
+    val chained = multiFolds.foldLeft(c) { case (acc, (from, to)) =>
+      regexp_replace(acc, from, to) }
+    val folded2 = translate(chained,
+      foldPairs.map(_._1).mkString + cyrGreekPairs.map(_._1).mkString + delChars,
+      foldPairs.map(_._2).mkString + cyrGreekPairs.map(_._2).mkString)
     val noPunct = regexp_replace(folded2, """[!"#$%&'()*+,./:;<=>?@\[\\\]^`{|}~_]""", "")
     regexp_replace(noPunct, " ", "_")
   }

@@ -73,20 +73,27 @@ object Link {
     val matchedIri = coalesce(col("d_is_iri"), lit(false))
     keyed
       .join(dict.withColumnRenamed("kind", "dkind"), Seq("dkind", "key"), "left")
+      // the cleaned mint stem is computed ONCE as its own column: inlining
+      // Fns.removePunctuation's (config-sized but long) fold chain into
+      // every CASE branch replicated it ~6× per row (3 mint branches ×
+      // again inside the join's pushed isnotnull predicate), blowing the
+      // generated code past janino's 64 KB limit and knocking the whole
+      // linking stage out of whole-stage codegen
+      .withColumn("mint_stem", Fns.removePunctuation(col("surface")))
       .select(col("conv_id"), col("turn_idx"), col("kind"), col("midx"),
         col("surface"), col("text"), col("ts"),
         col("d_term").isNotNull.as("matched"),
         when(isPlace, col("d_term")) // null when unmatched → dropped at emit
           .when(col("kind") === "person",
-            coalesce(col("d_term"), Fns.mintUri(Ns.kg + "temp/", col("surface"))))
+            coalesce(col("d_term"), concat(lit(Ns.kg + "temp/"), col("mint_stem"))))
           .when(col("kind") === "org",
             coalesce(col("d_term"),
-              concat(Fns.mintUri(Ns.org, col("surface")), lit("_ORG"))))
+              concat(lit(Ns.org), col("mint_stem"), lit("_ORG"))))
           // education: authority IRI | deterministic skolem IRI (the
           // reference's education BNodes, skolemized per SURVEY §7.4-3)
           .when(col("kind") === "education",
             coalesce(col("d_term"),
-              Fns.mintUri(Ns.kg + "edu/skolem/", col("surface"))))
+              concat(lit(Ns.kg + "edu/skolem/"), col("mint_stem"))))
           // occupation: IRI | ISO literal | fallback literal
           .when(matchedIri, col("d_term"))
           .when(col("d_term").isNotNull, concat(lit("ISO-3166-2:"), col("d_term")))

@@ -47,7 +47,17 @@ class FnsSpec extends SparkSpec {
     assert(evalStr(Fns.removePunctuation(lit("Łódź Ĳssel Þing ŒdipĀ")))
       == "Lodz_IJssel_Thing_OEdipA")
     assert(evalStr(Fns.removePunctuation(lit("Ştefan Ţara Ŋgoro Ǧ")))
-      == "Stefan_Tara_Ngoro_Ǧ") // chars beyond Ext-A pass through, declared
+      == "Stefan_Tara_Ngoro_Ǧ") // chars beyond the tables pass through, declared
+  }
+
+  test("removePunctuation transliterates Cyrillic and Greek (F1 widened)") {
+    assert(evalStr(Fns.removePunctuation(lit("Достоевский"))) == "Dostoevskii")
+    assert(evalStr(Fns.removePunctuation(lit("Пушкин Чехов"))) == "Pushkin_Chekhov")
+    assert(evalStr(Fns.removePunctuation(lit("объять Щедрин"))) == "obiat_Shchedrin")
+    assert(evalStr(Fns.removePunctuation(lit("Αθήνα"))) == "Athena")
+    assert(evalStr(Fns.removePunctuation(lit("Ψυχή φιλοσοφία"))) == "Psukhe_philosophia")
+    // CJK still passes through (declared out of scope)
+    assert(evalStr(Fns.removePunctuation(lit("東京 loft"))) == "東京_loft")
   }
 
   test("limitWords reproduces utilities.py doctests") {

@@ -27,6 +27,32 @@ class NTriplesSpec extends SparkSpec {
       Triple("s1", "p", "o", true, "", ""),
       Triple("s2", "p", "lit with \"quote\"", false, "en", "")))
   }
+
+  test("Turtle export → TurtleParse round-trips the pipeline graph (S5 widened)") {
+    val tr = Pipeline.triples(spark, sfDir).as[Triple].collect().toSet
+    val back = graft.io.TurtleParse.parse(
+      graft.io.Turtle.export(Pipeline.triples(spark, sfDir)))
+      .as[Triple].collect().toSet
+    assert(back == tr)
+  }
+
+  test("TurtleParse handles separators inside literals, escapes, prefixes") {
+    val ttl = Seq(
+      "@prefix ex: <http://ex.org/> .",
+      "@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .",
+      // ' ; ' and ' . ' INSIDE the literal must not split terms
+      """ex:s ex:p "a ; b . c" ; ex:q "tab\there \"q\" back\\slash"@en .""",
+      """<http://ex.org/s2> ex:n "42"^^xsd:int ; ex:o ex:t .""",
+      "not a statement").toDF("line")
+    val got = graft.io.TurtleParse.parse(ttl).as[Triple].collect().toSet
+    assert(got == Set(
+      Triple("http://ex.org/s", "http://ex.org/p", "a ; b . c", false, "", ""),
+      Triple("http://ex.org/s", "http://ex.org/q",
+        "tab\there \"q\" back\\slash", false, "en", ""),
+      Triple("http://ex.org/s2", "http://ex.org/n", "42", false, "",
+        "http://www.w3.org/2001/XMLSchema#int"),
+      Triple("http://ex.org/s2", "http://ex.org/o", "http://ex.org/t", true, "", "")))
+  }
 }
 
 class SentenceAndDateSpec extends SparkSpec {
