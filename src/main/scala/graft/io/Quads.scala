@@ -38,8 +38,12 @@ object Quads {
     * copied levels, set semantics. */
   def bfs(triples: DataFrame): DataFrame = {
     // the triple table feeds the quad base AND the copy join — persist it
-    // once or every consumer recomputes the whole upstream pipeline
+    // once or every consumer recomputes the whole upstream pipeline. The
+    // persist is forced EAGERLY: inside the single final job, the union's
+    // branches otherwise race to materialize the cache and recompute the
+    // full pipeline several times in parallel before it fills.
     val t = triples.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    t.count()
     val quads = export(t)
     // Frontier expansion factors through the DISTINCT IRI edge set: level
     // k+1's frontier = distinct (graph, obj) of frontier_k ⋈ triples, which
@@ -51,17 +55,42 @@ object Quads {
     val edges = t.filter(col("obj_is_iri"))
       .select(col("subj"), col("obj_value").as("dst")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var frontier = quads.filter(col("obj_is_iri"))
-      .select(col("graph"), col("obj_value").as("subj")).distinct()
+    // HOME-GRAPH PRUNING (pure narrow filter, no join): the graph label is
+    // a FUNCTION of the subject, so a node n with graphOf(n) == g already
+    // has ALL its triples in g — copying them is a no-op under the final
+    // set-distinct, and n's outgoing targets are already level-0 frontier
+    // members of g (its triples ARE g's quads), so expanding n adds
+    // nothing either. Dropping such (g, n) pairs everywhere kills the
+    // dominant fan-out: conv-local context/activity/event nodes never
+    // expand or copy; only genuinely cross-graph references (persons,
+    // places, works) do. Provably output-identical to the unpruned BFS —
+    // the DuckDB oracle runs the unpruned definition and hashes equal.
+    val nodeConv = regexp_extract(col("subj"), "(conv_[0-9]+)", 1)
+    val homeGraph = when(nodeConv =!= "", concat(lit(Ns.conv), nodeConv))
+      .otherwise(lit(Ns.kg + "graph/uber"))
+    def pruneHome(f: DataFrame): DataFrame = f.filter(col("graph") =!= homeGraph)
+    var frontier = pruneHome(quads.filter(col("obj_is_iri"))
+      .select(col("graph"), col("obj_value").as("subj"))).distinct()
     var reached = frontier
     for (_ <- 1 to 2) { // levels 2 and 3 start from level 1's frontier
-      frontier = frontier.join(edges, "subj")
-        .select(col("graph"), col("dst").as("subj")).distinct()
+      frontier = pruneHome(frontier.join(edges, "subj")
+        .select(col("graph"), col("dst").as("subj"))).distinct()
       reached = reached.unionAll(frontier)
     }
     val copied = reached.distinct().join(t, "subj")
       .select(col("graph"), col("subj"), col("pred"), col("obj_value"),
         col("obj_is_iri"), col("obj_lang"), col("obj_dtype"))
-    quads.unionAll(copied).distinct()
+    // NO final set-distinct — it is provably a no-op here, and over the
+    // full multi-million-row output it was the single largest shuffle of
+    // this export: (1) `quads` rows all have graph == homeGraph(subj)
+    // while every `copied` row has graph != homeGraph(subj) (reached is
+    // home-pruned), so the two sides are DISJOINT; (2) within `copied`,
+    // `reached` is distinct on (graph, subj) and the triple table is
+    // dup-free by the pipeline's routing-around-distinct invariant, so
+    // the join cannot fabricate duplicates; (3) `quads` inherits the same
+    // dup-freedom. The oracle runs the textbook DISTINCT-union definition
+    // and hashes equal — if a future edit ever broke the dup-free
+    // invariant, this query's oracle gate is what would catch it.
+    quads.unionAll(copied)
   }
 }

@@ -65,4 +65,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("*(1)"), "extraction should sit in codegen stage 1")
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
   }
+
+  test("generated code COMPILES on the hot paths (no silent 64KB fallback)") {
+    // spark.sql.codegen.fallback=false turns janino compile failures into
+    // hard errors instead of a silent per-stage interpreter fallback — the
+    // round-3 cleanTerm/mint expression pyramids degraded exactly this way
+    // (see Fns.cleanTerm / Link.linkAll) and only a log WARN betrayed it
+    spark.catalog.clearCache()
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      Pipeline.linked(spark, sfDir).count()          // extract+link+mint
+      Pipeline.triples(spark, sfDir).count()         // full emission
+      operators.Ann.ivfCells(
+        sources.Tables.embeddings(spark, sfDir)).count() // inlined centroids
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
 }
