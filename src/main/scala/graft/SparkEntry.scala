@@ -207,7 +207,10 @@ object SparkEntry {
       operators.Metrics.labelLookup(Pipeline.triples(s, d))),
     // Utils/citation.py: BIBCIT citation nodes (REF + temp branches)
     "kg_citations" -> ((s, d) =>
-      operators.Profiles.citationTriples(Pipeline.transcripts(s, d)))
+      operators.Profiles.citationTriples(Pipeline.transcripts(s, d))),
+    // Biography/other_contexts.py: identifying contexts + generic activities
+    "kg_other_contexts" -> ((s, d) =>
+      operators.Profiles.otherContextTriples(Pipeline.transcripts(s, d)))
   )
 
   def oracleSql: Map[String, String] = OracleSql.queries

@@ -145,4 +145,56 @@ object Profiles {
         col("turn_idx").cast("string"), isIri = false))
       .distinct()
   }
+
+  /** The other_contexts families (`Biography/other_contexts.py:56-107` +
+    * the HEALTH block at :13-53): simple IDENTIFYING contexts — no unique
+    * subtagging, so no entity extraction — each carrying one generic
+    * Activity typed with the family's event class and labelled
+    * split_by_casing(event_type). Shared with the oracle as config data. */
+  val otherFamilies: Seq[String] =
+    Seq("Violence", "Wealth", "LeisureAndSociety", "OtherLifeEvent", "Health")
+  /** split_by_casing(fam + "Event") precomputed driver-side (pure string,
+    * the Column splitByCasing's exact regex). */
+  val otherLabels: Seq[String] = otherFamilies.map { f =>
+    "[A-Z][^A-Z]*".r.findAllIn(f + "Event").mkString(" ")
+  }
+
+  /** `kg_other_contexts`: for each participating turn (the section-kind
+    * arithmetic plays find_all(tag) — eid % 23 picks the turn, the family
+    * rotates with eid/23), emit the reference's exact id construction:
+    * context_id = <conv>_<Fam>Context_<n> with a per-(conv, family)
+    * ordinal, and activity_id = context_id.replace("Context","Event") +
+    * "_" + n (other_contexts.py:80-83 — the replace runs over the whole
+    * id; the lowercase namespace is untouched). Six triples per item, all
+    * unique by construction. Narrow projection + one ordinal window. */
+  def otherContextTriples(tr: DataFrame): DataFrame = {
+    val eid = substring(col("conv_id"), 6, 6).cast("long") * 20 + col("turn_idx")
+    // Column `/` is double division — use floor for the eid // 23 the
+    // oracle computes (exact: eid < 2^53 by the scale-knob bound)
+    val famIdx = (floor(eid / 23).cast("long") % otherFamilies.length).cast("int") + 1
+    val fam = element_at(array(otherFamilies.map(lit): _*), famIdx)
+    val label = element_at(array(otherLabels.map(lit): _*), famIdx)
+    val w = Window.partitionBy(col("conv_id"), col("fam"))
+      .orderBy(col("turn_idx"))
+    val b = tr.filter(eid % 23 === 0)
+      .withColumn("fam", fam).withColumn("lab", label)
+      .withColumn("n", row_number().over(w).cast("string"))
+      .withColumn("ctx_uri", concat(lit(Ns.ctx), col("conv_id"), lit("_"),
+        col("fam"), lit("Context_"), col("n")))
+      .withColumn("act_uri", concat(
+        regexp_replace(col("ctx_uri"), "Context", "Event"), lit("_"), col("n")))
+    def t(subj: org.apache.spark.sql.Column, pred: String,
+          obj: org.apache.spark.sql.Column, isIri: Boolean, lang: String = "") =
+      b.select(subj.as("subj"), lit(pred).as("pred"), obj.as("obj_value"),
+        lit(isIri).as("obj_is_iri"), lit(lang).as("obj_lang"),
+        lit("").as("obj_dtype"))
+    t(col("ctx_uri"), Ns.rdfType, lit(Ns.tContext), isIri = true)
+      .unionAll(t(col("ctx_uri"), Ns.rdfType,
+        concat(lit(Ns.kg + "type/"), col("fam"), lit("Context")), isIri = true))
+      .unionAll(t(col("ctx_uri"), Ns.pred + "linksActivity", col("act_uri"), isIri = true))
+      .unionAll(t(col("act_uri"), Ns.rdfType, lit(Ns.tActivity), isIri = true))
+      .unionAll(t(col("act_uri"), Ns.rdfType,
+        concat(lit(Ns.kg + "event/"), col("fam"), lit("Event")), isIri = true))
+      .unionAll(t(col("act_uri"), Ns.rdfsLabel, col("lab"), isIri = false, lang = "en"))
+  }
 }

@@ -718,6 +718,37 @@ SELECT DISTINCT * FROM (
   UNION ALL SELECT cite_uri, '${Ns.symbolicContent}', CAST(turn_idx AS VARCHAR), FALSE, '', '' FROM c2
 )"""
 
+  /** kg_other_contexts: other_contexts.py identifying contexts + generic
+    * activities oracle. Families/labels are the shared Scala constants. */
+  private lazy val otherContextsQuery: String = {
+    val fams = graft.operators.Profiles.otherFamilies
+      .zip(graft.operators.Profiles.otherLabels).zipWithIndex
+      .map { case ((f, l), i) => s"($i,'$f','$l')" }.mkString(",")
+    BASE + s""", famv(i, fam, lab) AS (VALUES $fams),
+oc AS (
+  SELECT conv_id, turn_idx,
+         CAST(substr(conv_id, 6) AS BIGINT) * 20 + turn_idx AS eid
+  FROM tr),
+oc2 AS (
+  SELECT o.conv_id, o.turn_idx, f.fam, f.lab,
+         row_number() OVER (PARTITION BY o.conv_id, f.fam ORDER BY o.turn_idx) AS n
+  FROM oc o JOIN famv f ON f.i = CAST((o.eid // 23) % ${graft.operators.Profiles.otherFamilies.length} AS INT)
+  WHERE o.eid % 23 = 0),
+oc3 AS (
+  SELECT *,
+    '${Ns.ctx}' || conv_id || '_' || fam || 'Context_' || CAST(n AS VARCHAR) AS ctx_uri,
+    replace('${Ns.ctx}' || conv_id || '_' || fam || 'Context_' || CAST(n AS VARCHAR),
+            'Context', 'Event') || '_' || CAST(n AS VARCHAR) AS act_uri
+  FROM oc2)
+SELECT ctx_uri AS subj, '${Ns.rdfType}' AS pred, '${Ns.tContext}' AS obj_value,
+       TRUE AS obj_is_iri, '' AS obj_lang, '' AS obj_dtype FROM oc3
+UNION ALL SELECT ctx_uri, '${Ns.rdfType}', '${Ns.kg}type/' || fam || 'Context', TRUE, '', '' FROM oc3
+UNION ALL SELECT ctx_uri, '${Ns.pred}linksActivity', act_uri, TRUE, '', '' FROM oc3
+UNION ALL SELECT act_uri, '${Ns.rdfType}', '${Ns.tActivity}', TRUE, '', '' FROM oc3
+UNION ALL SELECT act_uri, '${Ns.rdfType}', '${Ns.kg}event/' || fam || 'Event', TRUE, '', '' FROM oc3
+UNION ALL SELECT act_uri, '${Ns.rdfsLabel}', lab, FALSE, 'en', '' FROM oc3"""
+  }
+
   /** PA dictionary rows for the retry chain (mirrors Dicts.paRows). */
   private val paDictValues = Dicts.paRows
     .flatMap { case (rid, term, alts) => alts.map(a => s"($rid,'$term','$a')") }
@@ -727,6 +758,7 @@ SELECT DISTINCT * FROM (
     "kg_works_agents" -> worksAgentsQuery,
     "kg_labels" -> labelsQuery,
     "kg_citations" -> citationsQuery,
+    "kg_other_contexts" -> otherContextsQuery,
     "kg_names" -> namesQuery,
     "kg_titles" -> titlesQuery,
     "kg_writing" -> writingQuery,

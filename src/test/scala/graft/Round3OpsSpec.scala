@@ -84,6 +84,34 @@ class Round3OpsSpec extends SparkSpec {
     assert(!got.exists(_.obj_value == "weaver"), "only the FIRST system turn is the summary")
   }
 
+  test("other_contexts: id replace semantics, per-family ordinals, labels") {
+    // conv_000100 spans eids 2000-2019+; 2001 = 23*87 (fam 87%5=2 →
+    // LeisureAndSociety), 2116 = 23*92 (fam 92%5=2 — SAME family → n=2),
+    // 2024 = 23*88 (fam 3 → OtherLifeEvent, its own ordinal stream)
+    val t = Seq(
+      ("conv_000100", 1, "user", "anything.", "", ts),
+      ("conv_000100", 116, "user", "anything.", "", ts),
+      ("conv_000100", 24, "user", "anything.", "", ts),
+      ("conv_000100", 2, "user", "non-participating.", "", ts))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val got = Profiles.otherContextTriples(t).as[model.Triple].collect().toSet
+    val c1 = Ns.ctx + "conv_000100_LeisureAndSocietyContext_1"
+    val a1 = Ns.ctx + "conv_000100_LeisureAndSocietyEvent_1_1"
+    val c2 = Ns.ctx + "conv_000100_LeisureAndSocietyContext_2"
+    val a2 = Ns.ctx + "conv_000100_LeisureAndSocietyEvent_2_2"
+    val c3 = Ns.ctx + "conv_000100_OtherLifeEventContext_1"
+    assert(got.contains(model.Triple(c1, Ns.pred + "linksActivity", a1, true, "", "")))
+    assert(got.contains(model.Triple(c2, Ns.pred + "linksActivity", a2, true, "", "")))
+    assert(got.contains(model.Triple(a1, Ns.rdfType,
+      Ns.kg + "event/LeisureAndSocietyEvent", true, "", "")))
+    assert(got.contains(model.Triple(a1, Ns.rdfsLabel,
+      "Leisure And Society Event", false, "en", "")))
+    assert(got.exists(_.subj == c3), "OtherLifeEvent family gets its own stream")
+    // the lowercase context/ namespace survives the Context→Event replace
+    assert(!got.exists(_.obj_value.contains("event/conv")), "namespace untouched")
+    assert(got.size == 18, "3 participating turns x 6 triples")
+  }
+
   test("citations: REF path uses the CLEANED suffix, temp path the RAW dbref") {
     val t = Seq(
       ("c1", 0, "tool", "cited text.", "tool_4", ts),
