@@ -78,20 +78,29 @@ object Profiles {
     * events. One row per (conv, matched category) / per unspecified tag /
     * per burial event — distinct, standard triple schema. */
   def lifeInfoTriples(tr: DataFrame): DataFrame = {
+    // `ptext` is a GENERATED column (1-element explode): predicate
+    // pushdown cannot cross a Generate, so the keyword filters below
+    // reference this attribute instead of being substituted through the
+    // transcript-synthesis projection — without the boundary, the
+    // unspecified branch's ~25 Contains conjuncts each re-inlined the
+    // full text expression and blew the generated method past janino's
+    // 64 KB limit (the last codegen fallback in the engine)
     val tagged = tr.filter(col("text").contains("while discussing"))
+      .select(col("conv_id"), col("turn_idx"),
+        explode(array(col("text"))).as("ptext"))
     val convUri = concat(lit(Ns.conv), col("conv_id"))
     val cats = childlessnessWords.map { case (cat, kws) =>
-      t(tagged.filter(containsAny(col("text"), kws)),
+      t(tagged.filter(containsAny(col("ptext"), kws)),
         convUri, Ns.reproductiveHistory, lit(Ns.bio + cat), isIri = true)
     }.reduce(_ unionAll _)
-    val anyKw = containsAny(col("text"),
+    val anyKw = containsAny(col("ptext"),
       childlessnessWords.flatMap(_._2))
     val unspecified = t(tagged.filter(!anyKw),
       convUri, Ns.unspecifiedReproHist,
       lit(Ns.bio + "unspecifiedReproductiveHistory"), isIri = true)
     // burial events get per-conv ordinals (context_count, birthDeath.py:246)
     val w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    val burial = tagged.filter(containsAny(col("text"), burialKeywords))
+    val burial = tagged.filter(containsAny(col("ptext"), burialKeywords))
       .withColumn("ord", row_number().over(w))
       .withColumn("ev_uri", concat(lit(Ns.event), col("conv_id"),
         lit("_BurialEvent_"), col("ord").cast("string")))
