@@ -101,4 +101,31 @@ class PropertySpec extends SparkSpec {
     assert(ab.exceptAll(ba).isEmpty && ba.exceptAll(ab).isEmpty)
     assert(ab.unionAll(ab).distinct().count() == ab.count())
   }
+
+  test("Turtle export→parse round-trips 200 adversarial random literals") {
+    // literal alphabet deliberately includes every character the
+    // exporter escapes or the lexer treats as a separator
+    val nasty = Seq('"', '\\', '\n', '\r', '\t', ';', '.', '<', '>', '@',
+      '^', ' ', 'é', 'ж', 'a', 'b', '0')
+    def lit0() = Seq.fill(rnd.nextInt(20))(
+      nasty(rnd.nextInt(nasty.length))).mkString
+    val triples = (0 until 200).map { i =>
+      val kind = rnd.nextInt(3)
+      val obj = kind match {
+        case 0 => (lit0(), false, "", "")
+        case 1 => (lit0(), false, "en", "")
+        case 2 => (lit0(), false, "", graft.model.Ns.xsdString)
+      }
+      model.Triple(
+        graft.model.Ns.person + s"p$i",
+        graft.model.Ns.pred + word(),
+        obj._1, obj._2, obj._3, obj._4)
+    } :+ model.Triple(graft.model.Ns.person + "px",
+      graft.model.Ns.pred + "knows", graft.model.Ns.person + "py",
+      true, "", "")
+    val df = triples.toDS().toDF()
+    val back = graft.io.TurtleParse.parse(graft.io.Turtle.export(df))
+      .as[model.Triple].collect().toSet
+    assert(back == triples.toSet)
+  }
 }
