@@ -210,7 +210,29 @@ object SparkEntry {
       operators.Profiles.citationTriples(Pipeline.transcripts(s, d))),
     // Biography/other_contexts.py: identifying contexts + generic activities
     "kg_other_contexts" -> ((s, d) =>
-      operators.Profiles.otherContextTriples(Pipeline.transcripts(s, d)))
+      operators.Profiles.otherContextTriples(Pipeline.transcripts(s, d))),
+    // K3 FULL combineTriples analog: the core graph ∪ EVERY standalone
+    // emission family (the reference's cross-module uber graph), set
+    // semantics. One distinct shuffle over the combined output; every
+    // branch is the same plan its own gate verifies. kg_labels excluded —
+    // reviewTerms checks the graph, it doesn't emit into it.
+    "kg_uber" -> ((s, d) => {
+      val tr = Pipeline.transcripts(s, d)
+      Pipeline.triples(s, d)
+        .unionAll(operators.Emit.freestandingEvents(tr))
+        .unionAll(operators.Extras.childrenCounts(Pipeline.linked(s, d)))
+        .unionAll(operators.Works.workTriples(
+          sources.Tables.orders(s, d), sources.Tables.lineitem(s, d)))
+        .unionAll(operators.Works.agentTriples(
+          sources.Tables.orders(s, d), sources.Tables.customer(s, d)))
+        .unionAll(operators.Names.nameTriples(tr))
+        .unionAll(operators.Titles.titleTriples(s, tr))
+        .unionAll(operators.Profiles.writingTriples(tr))
+        .unionAll(operators.Profiles.lifeInfoTriples(tr))
+        .unionAll(operators.Profiles.citationTriples(tr))
+        .unionAll(operators.Profiles.otherContextTriples(tr))
+        .distinct()
+    })
   )
 
   def oracleSql: Map[String, String] = OracleSql.queries

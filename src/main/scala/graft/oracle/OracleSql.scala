@@ -276,7 +276,7 @@ canon AS (SELECT n AS node, min(m) AS canon FROM reach GROUP BY n)
 
   // lazy: docQueries/annQueries/eventQueries are declared below and would
   // otherwise still be null when this initializer runs.
-  lazy val queries: Map[String, String] = Map(
+  private lazy val baseQueries: Map[String, String] = Map(
     "kg_transcripts" ->
       (BASE + "SELECT conv_id, turn_idx, role, text, tool, ts FROM tr"),
     "kg_mentions" ->
@@ -424,6 +424,24 @@ SELECT conv_id, turn_idx, lexical,
        ELSE lexical END AS interval_end
 FROM lex""")
   ) ++ extraQueries ++ docQueries ++ annQueries ++ eventQueries ++ streamQueries
+
+  /** kg_uber — the FULL combineTriples analog (`combineTriples.py:77-150`
+    * across ALL modules, not just the core pipeline): the core graph
+    * unioned with every standalone emission family, set semantics.
+    * Composed from the very fragments the per-family gates verify; each
+    * is wrapped by NAME so fragment column order can never scramble the
+    * union. kg_labels is excluded — reviewTerms is a checker over the
+    * graph, not an emitter into it. */
+  private val uberParts: Seq[String] = Seq(
+    "kg_triples", "kg_freestanding", "kg_children", "kg_works",
+    "kg_works_agents", "kg_names", "kg_titles", "kg_writing",
+    "kg_lifeinfo", "kg_citations", "kg_other_contexts")
+
+  lazy val queries: Map[String, String] = baseQueries +
+    ("kg_uber" -> ("SELECT DISTINCT subj, pred, obj_value, obj_is_iri, obj_lang, obj_dtype FROM (" +
+      uberParts.map(q =>
+        "SELECT subj, pred, obj_value, obj_is_iri, obj_lang, obj_dtype FROM (" +
+          baseQueries(q) + "\n)").mkString(" UNION ALL ") + ")"))
 
   /** Connotation subtype table (mirrors Names.connotations). */
   private val connValues = graft.operators.Names.connotations.zipWithIndex
