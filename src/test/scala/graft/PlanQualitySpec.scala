@@ -60,6 +60,21 @@ class PlanQualitySpec extends SparkSpec {
       "signature computation must not aggregate or join")
   }
 
+  test("ivf: cell assignment is a narrow projection; search never NLJ/cartesian") {
+    spark.catalog.clearCache()
+    val cellsPlan = operators.Ann.ivfCells(
+      sources.Tables.embeddings(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert(!cellsPlan.contains("SortMergeJoin") && !cellsPlan.contains("HashAggregate"),
+      "IVF assignment must be a pure projection over inlined centroids")
+    val searchPlan = operators.Ann.ivfSearch(
+      sources.Tables.embeddings(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert(!searchPlan.contains("BroadcastNestedLoopJoin") &&
+      !searchPlan.contains("CartesianProduct"),
+      "IVF search must equi-join probe cells, never scan all pairs")
+  }
+
   test("whole-stage codegen covers the extraction path (no UDF breaks)") {
     val plan = Pipeline.mentions(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("*(1)"), "extraction should sit in codegen stage 1")
