@@ -216,24 +216,39 @@ object SparkEntry {
     // semantics. One distinct shuffle over the combined output; every
     // branch is the same plan its own gate verifies. kg_labels excluded —
     // reviewTerms checks the graph, it doesn't emit into it.
-    "kg_uber" -> ((s, d) => {
-      val tr = Pipeline.transcripts(s, d)
-      Pipeline.triples(s, d)
-        .unionAll(operators.Emit.freestandingEvents(tr))
-        .unionAll(operators.Extras.childrenCounts(Pipeline.linked(s, d)))
-        .unionAll(operators.Works.workTriples(
-          sources.Tables.orders(s, d), sources.Tables.lineitem(s, d)))
-        .unionAll(operators.Works.agentTriples(
-          sources.Tables.orders(s, d), sources.Tables.customer(s, d)))
-        .unionAll(operators.Names.nameTriples(tr))
-        .unionAll(operators.Titles.titleTriples(s, tr))
-        .unionAll(operators.Profiles.writingTriples(tr))
-        .unionAll(operators.Profiles.lifeInfoTriples(tr))
-        .unionAll(operators.Profiles.citationTriples(tr))
-        .unionAll(operators.Profiles.otherContextTriples(tr))
-        .distinct()
+    "kg_uber" -> ((s, d) => uberGraph(s, d)),
+    // ...and its canonical form: the uber graph rewritten through the
+    // sameAs closure (families emit no sameAs edges, so the identity map
+    // is exactly the core pipeline's — e.g. works' reified agent records
+    // get their person participants collapsed onto canonical ids). The
+    // persist is eager: the closure and the rewrite both read the graph.
+    "kg_uber_canon" -> ((s, d) => {
+      val u = uberGraph(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      u.count()
+      operators.SameAs.canonicalize(u,
+        operators.SameAs.closure(operators.SameAs.edgesOf(u)))
     })
   )
+
+  /** The cross-module uber graph (shared by kg_uber and kg_uber_canon). */
+  private def uberGraph(s: SparkSession, d: String): DataFrame = {
+    val tr = Pipeline.transcripts(s, d)
+    Pipeline.triples(s, d)
+      .unionAll(operators.Emit.freestandingEvents(tr))
+      .unionAll(operators.Extras.childrenCounts(Pipeline.linked(s, d)))
+      .unionAll(operators.Works.workTriples(
+        sources.Tables.orders(s, d), sources.Tables.lineitem(s, d)))
+      .unionAll(operators.Works.agentTriples(
+        sources.Tables.orders(s, d), sources.Tables.customer(s, d)))
+      .unionAll(operators.Names.nameTriples(tr))
+      .unionAll(operators.Titles.titleTriples(s, tr))
+      .unionAll(operators.Profiles.writingTriples(tr))
+      .unionAll(operators.Profiles.lifeInfoTriples(tr))
+      .unionAll(operators.Profiles.citationTriples(tr))
+      .unionAll(operators.Profiles.otherContextTriples(tr))
+      .distinct()
+  }
 
   def oracleSql: Map[String, String] = OracleSql.queries
 }

@@ -437,11 +437,31 @@ FROM lex""")
     "kg_works_agents", "kg_names", "kg_titles", "kg_writing",
     "kg_lifeinfo", "kg_citations", "kg_other_contexts")
 
-  lazy val queries: Map[String, String] = baseQueries +
-    ("kg_uber" -> ("SELECT DISTINCT subj, pred, obj_value, obj_is_iri, obj_lang, obj_dtype FROM (" +
+  private lazy val uberSql: String =
+    "SELECT subj, pred, obj_value, obj_is_iri, obj_lang, obj_dtype FROM (" +
       uberParts.map(q =>
         "SELECT subj, pred, obj_value, obj_is_iri, obj_lang, obj_dtype FROM (" +
-          baseQueries(q) + "\n)").mkString(" UNION ALL ") + ")"))
+          baseQueries(q) + "\n)").mkString(" UNION ALL ") + ")"
+
+  /** kg_uber_canon: the uber graph rewritten through the sameAs closure.
+    * The canon map is the kg_sameas_clusters query verbatim (families add
+    * no sameAs edges, so closing over core == closing over uber). */
+  private lazy val uberCanonSql: String = {
+    val canonSql = baseQueries("kg_sameas_clusters")
+    s"""SELECT DISTINCT
+  COALESCE(cs.canon, t.subj) AS subj, t.pred,
+  COALESCE(co.canon, t.obj_value) AS obj_value,
+  t.obj_is_iri, t.obj_lang, t.obj_dtype
+FROM ($uberSql) t
+LEFT JOIN ($canonSql
+) cs ON t.subj = cs.node
+LEFT JOIN ($canonSql
+) co ON t.obj_is_iri AND t.obj_value = co.node"""
+  }
+
+  lazy val queries: Map[String, String] = baseQueries +
+    ("kg_uber" -> ("SELECT DISTINCT " + uberSql.stripPrefix("SELECT "))) +
+    ("kg_uber_canon" -> uberCanonSql)
 
   /** Connotation subtype table (mirrors Names.connotations). */
   private val connValues = graft.operators.Names.connotations.zipWithIndex
