@@ -231,9 +231,14 @@ object SparkEntry {
     })
   )
 
-  /** The cross-module uber graph (shared by kg_uber and kg_uber_canon). */
+  /** The cross-module uber graph (shared by kg_uber and kg_uber_canon).
+    * The transcript frame feeds EIGHT family branches of one union job —
+    * persisted eagerly so the branches read one materialization instead
+    * of racing the cache into eight re-syntheses. */
   private def uberGraph(s: SparkSession, d: String): DataFrame = {
     val tr = Pipeline.transcripts(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tr.count()
     Pipeline.triples(s, d)
       .unionAll(operators.Emit.freestandingEvents(tr))
       .unionAll(operators.Extras.childrenCounts(Pipeline.linked(s, d)))
