@@ -211,6 +211,24 @@ object SparkEntry {
     // Biography/other_contexts.py: identifying contexts + generic activities
     "kg_other_contexts" -> ((s, d) =>
       operators.Profiles.otherContextTriples(Pipeline.transcripts(s, d))),
+    // gender extraction family (culturalForm.py:466-500): GenderContext +
+    // mapped Gender term per conv, sourced from the writers-sex authority
+    "kg_gender" -> ((s, d) =>
+      operators.Families.genderTriples(s, d, Pipeline.mentions(s, d))),
+    // per-relation family predicates (lifeInfo.py:278-291 + the verbatim
+    // family_mapping.csv), J11 sex-consistency placeholder composed in
+    "kg_family" -> ((s, d) =>
+      operators.Families.familyTriples(s, d, Pipeline.linked(s, d))),
+    // cause-of-death linking (birthDeath.py:117-170): CAUSE_MAP exact
+    // match w/ URIRef / category-literal / fallback-literal branches
+    "kg_death_causes" -> ((s, d) =>
+      operators.Families.deathCauses(Pipeline.transcripts(s, d))),
+    // ...and its get_close_matches near-miss report (birthDeath.py:152-166)
+    "kg_cod_nearmiss" -> ((s, d) =>
+      operators.Families.codNearMiss(Pipeline.transcripts(s, d))),
+    // title↔BIBCIT matching report (titles/readFiles.py:37-108)
+    "kg_title_refs" -> ((s, d) =>
+      operators.Families.titleRefs(Pipeline.transcripts(s, d))),
     // K3 FULL combineTriples analog: the core graph ∪ EVERY standalone
     // emission family (the reference's cross-module uber graph), set
     // semantics. One distinct shuffle over the combined output; every
@@ -232,9 +250,13 @@ object SparkEntry {
   )
 
   /** The cross-module uber graph (shared by kg_uber and kg_uber_canon).
-    * The transcript frame feeds EIGHT family branches of one union job —
-    * persisted eagerly so the branches read one materialization instead
-    * of racing the cache into eight re-syntheses. */
+    * The union's branch list derives from OracleSql.uberParts (one branch
+    * per family fragment — keep them in lockstep). The transcript frame
+    * feeds the family branches of one union job — persisted eagerly so the
+    * branches read one materialization instead of racing the cache into
+    * N re-syntheses. The in-query persist is a harness-only construct: the
+    * production path is the staged Run, which materializes stage outputs
+    * as parquet instead of caching inside one job. */
   private def uberGraph(s: SparkSession, d: String): DataFrame = {
     val tr = Pipeline.transcripts(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -252,6 +274,9 @@ object SparkEntry {
       .unionAll(operators.Profiles.lifeInfoTriples(tr))
       .unionAll(operators.Profiles.citationTriples(tr))
       .unionAll(operators.Profiles.otherContextTriples(tr))
+      .unionAll(operators.Families.genderTriples(s, d, Pipeline.mentions(s, d)))
+      .unionAll(operators.Families.familyTriples(s, d, Pipeline.linked(s, d)))
+      .unionAll(operators.Families.deathCauses(tr))
       .distinct()
   }
 

@@ -19,16 +19,30 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // fail FAST on a misspelled query-name filter — silently running
+    // nothing would let a dev loop report success with no output
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+    // per-query row counts, written as manifest.json: makes an empty
+    // driver-side correctness artifact distinguishable from "nothing ran"
+    // (round 3 shipped with CORRECTNESS_r03.json == {} and nothing noticed)
+    val counts = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      .map { case (name, fn) =>
+      val n = try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        spark.read.parquet(s"$outDir/$name").count() // metadata-only read
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        -1L
       }
       spark.catalog.clearCache() // queries persist intermediates; isolate them
+      name -> n
     }
+    Files.writeString(Paths.get(s"$outDir/manifest.json"),
+      counts.map { case (k, v) => s""""$k": $v""" }.mkString("{", ",", "}"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -114,6 +114,18 @@ object Ns {
   val profile              = pred + "profile"
   val genericRangeIncludes = pred + "genericRangeIncludes"
   val extent               = pred + "extent"
+  // Writer Oeuvre node shape (Writing/writer.py:23,57-62)
+  val tOeuvre  = kg + "type/Oeuvre"   // cwrc:Oeuvre
+  val bfAuthor = pred + "author"      // bf:author
+  // gender extraction family (Biography/culturalForm.py:466-500)
+  val gender         = pred + "gender"         // CulturalForm("gender", ...)
+  val genderNs       = kg + "gender/"          // get_mapped_term("Gender", v)
+  val tGenderContext = kg + "type/GenderContext"
+  // per-relation family predicates (Biography/lifeInfo.py:278-291 +
+  // data/family_mapping.csv)
+  // (predicates minted as Ns.pred + <Predicate column>, e.g. pred/mother)
+  // cause-of-death linking (Biography/birthDeath.py:28-36,117-170)
+  val causeOfDeath = pred + "causeOfDeath"
   // lifeInfo keyword emitters (Biography/lifeInfo.py:80-106, birthDeath.py)
   val bio                    = kg + "bio/"
   val reproductiveHistory    = pred + "reproductiveHistory"

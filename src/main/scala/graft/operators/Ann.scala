@@ -46,13 +46,14 @@ object Ann {
     call_function("graft_dot", a, b)
   }
 
-  /** Brute-force cosine top-k. Queries: vec_id % 25 == 0 (a deterministic
-    * probe set). Output (query_id, neighbor_id, rank), rank 1..k by
-    * (cosine desc, neighbor_id asc) — ids only, so float-precision noise
-    * can't leak into the compared values. */
+  /** Brute-force cosine top-k. Queries: vec_id % queryModFor(n) == 0 (a
+    * deterministic probe set, ≤ QueryCap rows at any corpus size). Output
+    * (query_id, neighbor_id, rank), rank 1..k by (cosine desc, neighbor_id
+    * asc) — ids only, so float-precision noise can't leak into the
+    * compared values. */
   def bruteForceTopK(emb: DataFrame, k: Int = 5): DataFrame = {
     val p = prepared(emb)
-    val q = p.filter(col("vec_id") % 25 === 0)
+    val q = p.filter(col("vec_id") % queryModFor(emb.count()) === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
     val joined = p.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("norm")))
@@ -134,7 +135,7 @@ object Ann {
     * Recall tested against the exact brute force (DotProductSpec). */
   def lshSearch(emb: DataFrame, k: Int = 5): DataFrame = {
     val p = annotated(emb)
-    val q = p.filter(col("vec_id") % 25 === 0)
+    val q = p.filter(col("vec_id") % queryModFor(emb.count()) === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("norm").as("qn"), col("bucket").as("qbucket"))
     val qb = broadcast(q)
@@ -167,6 +168,21 @@ object Ann {
   val NumProbe = 4
   val TrainMod = 5
 
+  /** Driver-side sample caps. Both the quantizer's training collect and the
+    * query-set broadcast were corpus-PROPORTIONAL (vec_id % k == 0 with a
+    * fixed k) — at 10⁹ vectors that is 2×10⁸ driver-held vectors / an
+    * unbounded broadcast. The effective modulus now GROWS with the corpus so
+    * the sample stays ≤ an absolute cap at any scale; at fixture scale the
+    * documented TrainMod/QueryMod are below the cap and apply unchanged
+    * (oracle mirrors the same greatest(mod, ceil(n/cap)) arithmetic). */
+  val QueryMod = 25
+  val TrainCap = 100000L
+  val QueryCap = 1000L
+  def trainModFor(n: Long): Long =
+    math.max(TrainMod.toLong, (n + TrainCap - 1) / TrainCap)
+  def queryModFor(n: Long): Long =
+    math.max(QueryMod.toLong, (n + QueryCap - 1) / QueryCap)
+
   private def seqDot(a: Seq[Double], b: Seq[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < a.length && i < b.length) { s += a(i) * b(i); i += 1 }
@@ -174,57 +190,70 @@ object Ann {
   }
 
   /** Deterministic IVF centroids: seeds = the vectors with vec_id <
-    * NumCells, refined by ONE Lloyd iteration over the vec_id % TrainMod
-    * training sample. Every floating-point reduction is SEQUENTIAL in
-    * ascending (vec_id, dimension) order, so the DuckDB oracle reproduces
-    * the centroids bit-for-bit (list_sum over list(ORDER BY vec_id) —
-    * cross-checked exact on the fixture). Empty cells keep their seed.
-    * Returns (centroid, norm) per cell, driver-side (bounded: sample ×
-    * dim doubles). */
-  private def centroids(emb: DataFrame): Seq[(Seq[Double], Double)] = {
+    * NumCells, refined by ONE Lloyd iteration over the vec_id %
+    * trainModFor(n) training sample (≤ TrainCap rows collected — the
+    * driver-bounded offline phase of every production IVF build). Every
+    * floating-point reduction is SEQUENTIAL in ascending (vec_id,
+    * dimension) order, so the DuckDB oracle reproduces the centroids
+    * bit-for-bit (list_sum over list(ORDER BY vec_id) — cross-checked
+    * exact on the fixture). Empty cells keep their seed.
+    * Returns (cellId = SEED vec_id, centroid, norm) — keying cells by the
+    * seed's vec_id (not its position) matches the oracle on sparse or
+    * offset vec_id domains, not just the fixture's dense-from-0 one. */
+  private def centroids(emb: DataFrame): Seq[(Long, Seq[Double], Double)] = {
     val p = prepared(emb)
     val seeds = p.filter(col("vec_id") < NumCells).select("vec_id", "v")
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
-      .sortBy(_._1).map(_._2.toIndexedSeq)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+      .sortBy(_._1)
     if (seeds.isEmpty) return Seq.empty
-    val seedNorm = seeds.map(s => math.sqrt(seqDot(s, s)))
-    val train = p.filter(col("vec_id") % TrainMod === 0).select("vec_id", "v")
+    val seedVecs = seeds.map(_._2)
+    val seedNorm = seedVecs.map(s => math.sqrt(seqDot(s, s)))
+    val train = p.filter(col("vec_id") % trainModFor(emb.count()) === 0)
+      .select("vec_id", "v")
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
       .sortBy(_._1)
     def argmax(v: Seq[Double], cs: Seq[Seq[Double]], ns: Seq[Double]): Int = {
       var best = 0; var bestScore = Double.NegativeInfinity
       var c = 0
-      while (c < cs.length) { // ties keep the SMALLEST cell (strict >)
-        val sc = seqDot(v, cs(c)) / ns(c)
-        if (sc > bestScore) { bestScore = sc; best = c }
-        c += 1
+      while (c < cs.length) { // ties keep the SMALLEST cell (strict >);
+        val sc = seqDot(v, cs(c)) / ns(c) // seeds are vec_id-ascending, so
+        if (sc > bestScore) { bestScore = sc; best = c } // position order
+        c += 1                                           // == vec_id order
       }
       best
     }
-    val members = train.groupBy { case (_, v) => argmax(v, seeds, seedNorm) }
-    (0 until seeds.length).map { c =>
+    val members = train.groupBy { case (_, v) => argmax(v, seedVecs, seedNorm) }
+    seeds.indices.map { c =>
       val cv = members.get(c).filter(_.nonEmpty) match {
-        case None => seeds(c)
+        case None => seedVecs(c)
         case Some(mem) => // mem is vec_id-ascending (train is sorted)
-          val dim = seeds(c).length
+          val dim = seedVecs(c).length
           val acc = Array.fill(dim)(0.0)
           mem.foreach { case (_, v) =>
             var i = 0; while (i < dim && i < v.length) { acc(i) += v(i); i += 1 }
           }
           acc.map(_ / mem.length).toIndexedSeq
       }
-      (cv, math.sqrt(seqDot(cv, cv)))
+      (seeds(c)._1, cv, math.sqrt(seqDot(cv, cv)))
     }
   }
 
   /** argmax-cosine cell assignment as ONE narrow codegen'd expression over
     * inlined centroid literals (greatest over (score, -cell) structs —
-    * ties resolve to the smallest cell): zero shuffle, zero join, the
-    * LSH-signature plan shape with data-dependent weights. */
-  private def cellExpr(v: Column, cents: Seq[(Seq[Double], Double)]): Column =
-    -greatest(cents.zipWithIndex.map { case ((cv, cn), c) =>
-      struct((dot(v, typedlit(cv)) / lit(cn)).as("s"), lit(-c).as("nc"))
-    }: _*).getField("nc")
+    * ties resolve to the smallest cell id): zero shuffle, zero join, the
+    * LSH-signature plan shape with data-dependent weights. Degenerate
+    * inputs degrade instead of failing at plan time (greatest needs ≥2
+    * args): no centroids → constant 0 over an empty frame; one centroid →
+    * its cell id. */
+  private def cellExpr(v: Column, cents: Seq[(Long, Seq[Double], Double)]): Column =
+    cents match {
+      case Seq() => lit(0L)
+      case Seq((cid, _, _)) => lit(cid)
+      case _ =>
+        -greatest(cents.map { case (cid, cv, cn) =>
+          struct((dot(v, typedlit(cv)) / lit(cn)).as("s"), lit(-cid).as("nc"))
+        }: _*).getField("nc")
+    }
 
   /** IVF index: (vec_id, cell) — each vector assigned to its argmax-cosine
     * coarse centroid. */
@@ -244,12 +273,15 @@ object Ann {
   def ivfSearch(emb: DataFrame, k: Int = 5): DataFrame = {
     val cs = centroids(emb)
     val p = prepared(emb)
+    if (cs.isEmpty) // empty corpus: no cells, no queries — typed empty result
+      return p.filter(lit(false)).select(col("vec_id").as("query_id"),
+        col("vec_id").as("neighbor_id"), lit(0).as("rank"))
     val indexed = p.withColumn("cell", cellExpr(col("v"), cs))
     // ascending array_sort of (-score, cell) = (score desc, cell asc)
-    val ranked = array_sort(array(cs.zipWithIndex.map { case ((cv, cn), c) =>
-      struct((-(dot(col("v"), typedlit(cv)) / lit(cn))).as("ns"), lit(c).as("c"))
+    val ranked = array_sort(array(cs.map { case (cid, cv, cn) =>
+      struct((-(dot(col("v"), typedlit(cv)) / lit(cn))).as("ns"), lit(cid).as("c"))
     }: _*))
-    val q = p.filter(col("vec_id") % 25 === 0)
+    val q = p.filter(col("vec_id") % queryModFor(emb.count()) === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("norm").as("qn"),
         explode(transform(slice(ranked, 1, NumProbe), s => s.getField("c")))

@@ -37,13 +37,24 @@ object Profiles {
       lit(isIri).as("obj_is_iri"), lit("").as("obj_lang"),
       lit("").as("obj_dtype"))
 
-  /** kg_writing: profile context + genre-harvest context. */
+  /** kg_writing: profile context + genre-harvest context + the Writer
+    * Oeuvre node (`Writing/writer.py:23,57-62`): per processed person a
+    * `<uri>_Oeuvre` node typed cwrc:Oeuvre, a bf:author edge from the
+    * person, an "X's Oeuvre" label, and the EXTENTOFOEUVRE extent literal
+    * (`writing_extraction.py:57-59` — limit_words 35, attached to the
+    * oeuvre via the context's subject_uri). Graft: person ↔ conv, the
+    * processed set = convs with an AUTHORSUMMARY (first system turn); the
+    * reference labels with the uri's first underscore segment
+    * (writer.py:60-61), which for conv ids would collapse to the constant
+    * "conv" — the full conv id plays the name instead. */
   def writingTriples(tr: DataFrame): DataFrame = {
     val w = Window.partitionBy("conv_id").orderBy("turn_idx")
     val summary = tr.filter(col("role") === "system")
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
     val ctx1 = concat(lit(Ns.ctx), col("conv_id"), lit("_WritingContext_1"))
     val ctx2 = concat(lit(Ns.ctx), col("conv_id"), lit("_WritingContext_2"))
+    val convUri = concat(lit(Ns.conv), col("conv_id"))
+    val oeuvre = concat(lit(Ns.conv), col("conv_id"), lit("_Oeuvre"))
     val profile = t(summary, ctx1, Ns.profile,
       Fns.limitWords(col("text"), 35), isIri = false)
     val ctx1Type = t(summary, ctx1, Ns.rdfType, lit(Ns.tContext), isIri = true)
@@ -53,7 +64,15 @@ object Profiles {
         explode(regexp_extract_all(col("text"),
           lit("working as ([A-Za-z-]+)"), lit(1))).as("genre")),
       ctx2, Ns.genericRangeIncludes, col("genre"), isIri = false)
-    profile.unionAll(ctx1Type).unionAll(ctx2Type).unionAll(genres).distinct()
+    val oeuvreTriples =
+      t(summary, oeuvre, Ns.rdfType, lit(Ns.tOeuvre), isIri = true)
+        .unionAll(t(summary, convUri, Ns.bfAuthor, oeuvre, isIri = true))
+        .unionAll(t(summary, oeuvre, Ns.rdfsLabel,
+          concat(col("conv_id"), lit("'s Oeuvre")), isIri = false))
+        .unionAll(t(summary, oeuvre, Ns.extent,
+          Fns.limitWords(col("text"), 35), isIri = false))
+    profile.unionAll(ctx1Type).unionAll(ctx2Type).unionAll(genres)
+      .unionAll(oeuvreTriples).distinct()
   }
 
   /** childlessness_words verbatim (lifeInfo.py:81-89), in dict order. */

@@ -423,7 +423,88 @@ SELECT conv_id, turn_idx, lexical,
        WHEN length(lexical) = 10 THEN lexical || ' 23:59:59'
        ELSE lexical END AS interval_end
 FROM lex""")
-  ) ++ extraQueries ++ docQueries ++ annQueries ++ eventQueries ++ streamQueries
+  ) ++ extraQueries ++ round4Queries ++ docQueries ++ annQueries ++
+    eventQueries ++ streamQueries
+
+  // ----- round-4 families: gender, family predicates, COD, title refs -----
+
+  /** COD clean_term over the `cause` column in DuckDB (mirrors
+    * Families.codCleanCol). */
+  private val codKey: String =
+    "replace(trim(replace(lower(cause), '-', ' ')), ' ', '')"
+
+  private lazy val round4Queries: Map[String, String] = {
+    import graft.operators.Families
+    val famValues = Families.familyMap.zipWithIndex
+      .map { case ((_, p, s), i) => s"($i,'$p','$s')" }.mkString(",")
+    val famN = Families.familyMap.length
+    val codTermCase = Families.causeMap.map { case (cat, vals) =>
+      val keys = vals.map(v => s"'${Families.codClean(v)}'").mkString(",")
+      s"WHEN $codKey IN ($keys) THEN '$cat'"
+    }.mkString("CASE ", " ", " ELSE cause END")
+    val codcValues = Families.causeMap.flatMap { case (cat, vals) =>
+      vals.map(v => s"('$cat','$v','${Families.codClean(v)}')")
+    }.mkString(",")
+    val allClean = Families.causeMap.flatMap(_._2)
+      .map(v => s"'${Families.codClean(v)}'").mkString(",")
+    val titleMatch =
+      "b.dbref IS NOT NULL AND t.title = 'Title_' || CAST(b.dbref * 2 AS VARCHAR)"
+    Map(
+      "kg_gender" -> (BASE + s""", gsub AS (
+  SELECT m.conv_id, p.gender
+  FROM men m JOIN people_dict p ON p.key = lower(m.surface)
+  WHERE m.kind = 'person' AND m.turn_idx = 0 AND m.midx = 0)
+SELECT DISTINCT * FROM (
+  SELECT '${Ns.ctx}' || conv_id || '_GenderContext_1' AS subj, '${Ns.rdfType}' AS pred,
+         '${Ns.tContext}' AS obj_value, TRUE AS obj_is_iri, '' AS obj_lang, '' AS obj_dtype FROM gsub
+  UNION ALL SELECT '${Ns.ctx}' || conv_id || '_GenderContext_1', '${Ns.rdfType}', '${Ns.tGenderContext}', TRUE, '', '' FROM gsub
+  UNION ALL SELECT '${Ns.conv}' || conv_id, '${Ns.gender}',
+            '${Ns.genderNs}' || CASE WHEN gender = 'female' THEN 'Woman' ELSE 'Man' END, TRUE, '', '' FROM gsub
+)"""),
+      "kg_family" -> (BASE + s""", fam(i, prd, sx) AS (VALUES $famValues),
+pm AS (
+  SELECT l.conv_id, l.obj_value, p.gender, l.midx,
+         (CAST(substr(l.conv_id, 6) AS BIGINT) * 20 + l.turn_idx) AS eid
+  FROM linked l LEFT JOIN people_dict p ON p.uri = l.obj_value
+  WHERE l.kind = 'person')
+SELECT DISTINCT '${Ns.conv}' || conv_id AS subj,
+  '${Ns.pred}' || f.prd AS pred,
+  CASE WHEN gender IS NOT NULL AND upper(gender) <> f.sx AND f.prd <> 'interpersonalRelationshipWith'
+       THEN '${Ns.conv}' || conv_id || '_PLACEHOLDER_' || f.prd
+       ELSE obj_value END AS obj_value,
+  TRUE AS obj_is_iri, '' AS obj_lang, '' AS obj_dtype
+FROM pm JOIN fam f ON f.i = (eid * 3 + midx) % $famN"""),
+      "kg_death_causes" -> (BASE + s""", codf AS (
+  SELECT conv_id, regexp_extract(text, 'while discussing ([a-z ]+)\\.', 1) AS cause FROM tr
+  WHERE regexp_extract(text, 'while discussing ([a-z ]+)\\.', 1) <> ''),
+codt AS (SELECT conv_id, $codTermCase AS term FROM codf)
+SELECT DISTINCT '${Ns.conv}' || conv_id AS subj, '${Ns.causeOfDeath}' AS pred,
+  term AS obj_value, term LIKE 'http%' AS obj_is_iri, '' AS obj_lang,
+  CASE WHEN term LIKE 'http%' THEN '' ELSE '${Ns.xsdString}' END AS obj_dtype
+FROM codt"""),
+      "kg_cod_nearmiss" -> (BASE + s""", codf AS (
+  SELECT conv_id, regexp_extract(text, 'while discussing ([a-z ]+)\\.', 1) AS cause FROM tr
+  WHERE regexp_extract(text, 'while discussing ([a-z ]+)\\.', 1) <> ''),
+codc(category, candidate, cand_key) AS (VALUES $codcValues),
+misses AS (SELECT DISTINCT cause, $codKey AS key FROM codf
+           WHERE $codKey NOT IN ($allClean))
+SELECT m.cause, c.category, c.candidate, levenshtein(m.key, c.cand_key) AS lev
+FROM misses m JOIN codc c ON levenshtein(m.key, c.cand_key) <= 3"""),
+      "kg_title_refs" -> (BASE + s""", ttl AS (
+  SELECT conv_id, turn_idx, regexp_extract(text, 'reading (Title_[0-9]+)', 1) AS title FROM tr
+  WHERE regexp_extract(text, 'reading (Title_[0-9]+)', 1) <> ''),
+tseen AS (SELECT conv_id, turn_idx, title FROM (
+  SELECT conv_id, turn_idx, title,
+         row_number() OVER (PARTITION BY conv_id, title ORDER BY turn_idx) AS rn FROM ttl)
+  WHERE rn = 1),
+tbib AS (SELECT conv_id, CAST(substr(min_by(tool, turn_idx), 6) AS INT) AS dbref
+         FROM tr WHERE role = 'tool' AND tool <> '' GROUP BY conv_id)
+SELECT t.conv_id, t.title,
+  CASE WHEN $titleMatch THEN 'matched' ELSE 'unmatched' END AS status,
+  CASE WHEN $titleMatch THEN b.dbref ELSE -1 END AS dbref
+FROM tseen t LEFT JOIN tbib b ON b.conv_id = t.conv_id
+WHERE b.dbref IS NULL OR b.dbref >= 3"""))
+  }
 
   /** kg_uber — the FULL combineTriples analog (`combineTriples.py:77-150`
     * across ALL modules, not just the core pipeline): the core graph
@@ -432,10 +513,11 @@ FROM lex""")
     * is wrapped by NAME so fragment column order can never scramble the
     * union. kg_labels is excluded — reviewTerms is a checker over the
     * graph, not an emitter into it. */
-  private val uberParts: Seq[String] = Seq(
+  private[oracle] val uberParts: Seq[String] = Seq(
     "kg_triples", "kg_freestanding", "kg_children", "kg_works",
     "kg_works_agents", "kg_names", "kg_titles", "kg_writing",
-    "kg_lifeinfo", "kg_citations", "kg_other_contexts")
+    "kg_lifeinfo", "kg_citations", "kg_other_contexts",
+    "kg_gender", "kg_family", "kg_death_causes")
 
   private lazy val uberSql: String =
     "SELECT subj, pred, obj_value, obj_is_iri, obj_lang, obj_dtype FROM (" +
@@ -578,6 +660,10 @@ SELECT DISTINCT * FROM (
   UNION ALL SELECT '${Ns.ctx}' || conv_id || '_WritingContext_2', '${Ns.rdfType}', '${Ns.tContext}', TRUE, '', '' FROM wsum
   UNION ALL SELECT '${Ns.ctx}' || conv_id || '_WritingContext_2', '${Ns.genericRangeIncludes}',
             unnest(regexp_extract_all(text, 'working as ([A-Za-z-]+)', 1)), FALSE, '', '' FROM wsum
+  UNION ALL SELECT '${Ns.conv}' || conv_id || '_Oeuvre', '${Ns.rdfType}', '${Ns.tOeuvre}', TRUE, '', '' FROM wsum
+  UNION ALL SELECT '${Ns.conv}' || conv_id, '${Ns.bfAuthor}', '${Ns.conv}' || conv_id || '_Oeuvre', TRUE, '', '' FROM wsum
+  UNION ALL SELECT '${Ns.conv}' || conv_id || '_Oeuvre', '${Ns.rdfsLabel}', conv_id || '''s Oeuvre', FALSE, '', '' FROM wsum
+  UNION ALL SELECT '${Ns.conv}' || conv_id || '_Oeuvre', '${Ns.extent}', ${limitWordsSql("text")}, FALSE, '', '' FROM wsum
 )"""
 
   /** kg_lifeinfo: keyword classification branches generated from the
@@ -1048,12 +1134,20 @@ FROM documents d LEFT JOIN km ON km.doc_id = d.doc_id""")
 
   // ----- embeddings: ANN / near-dup -----
 
-  private val annQueries: Map[String, String] = Map(
-    "ann_topk" -> """
+  /** Driver-bounded sample moduli (mirror Ann.queryModFor/trainModFor):
+    * modulus = greatest(base, ceil(n / cap)) so the query set / training
+    * collect stays ≤ an absolute cap at any corpus size. */
+  private val qmodSub: String = {
+    import graft.operators.Ann.{QueryCap, QueryMod}
+    s"(SELECT greatest($QueryMod, (count(*) + ${QueryCap - 1}) // $QueryCap) FROM e)"
+  }
+
+  private lazy val annQueries: Map[String, String] = Map(
+    "ann_topk" -> s"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
 n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 25 = 0),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id % $qmodSub = 0),
 s AS (
   SELECT q.query_id, n.vec_id AS neighbor_id,
          list_dot_product(q.qv, n.v) / (q.qn * n.nrm) AS cos
@@ -1076,7 +1170,7 @@ proj AS (SELECT vec_id, pl, sum(w * x) AS proj FROM p GROUP BY 1, 2)
 SELECT vec_id,
   CAST(sum(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << CAST(pl AS INT)) ELSE 0 END) AS BIGINT) AS bucket
 FROM proj GROUP BY vec_id""",
-    "ann_lsh_search" -> """
+    "ann_lsh_search" -> s"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
 n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
@@ -1093,7 +1187,7 @@ buckets AS (
     CAST(sum(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << CAST(pl AS INT)) ELSE 0 END) AS BIGINT) AS bucket
   FROM proj GROUP BY vec_id),
 nb AS (SELECT n.vec_id, n.v, n.nrm, b.bucket FROM n JOIN buckets b ON b.vec_id = n.vec_id),
-q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket FROM nb WHERE vec_id % 25 = 0),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket FROM nb WHERE vec_id % $qmodSub = 0),
 s AS (
   -- OR-across-bands candidates (band = 8-bit slice of the 16-bit signature)
   SELECT q.query_id, nb.vec_id AS neighbor_id,
@@ -1141,8 +1235,8 @@ FROM documents""",
     "ann_ivf_cells" -> (ivfCommon + "SELECT vec_id, cell FROM cells"),
     "ann_ivf_search" -> (ivfCommon + s""",
 probes AS (SELECT vec_id AS query_id, cell FROM asg
-           WHERE vec_id % 25 = 0 AND rn <= ${graft.operators.Ann.NumProbe}),
-q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 25 = 0),
+           WHERE vec_id % $qmodSub = 0 AND rn <= ${graft.operators.Ann.NumProbe}),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id % $qmodSub = 0),
 pcand AS (
   SELECT p.query_id, c.vec_id AS neighbor_id
   FROM probes p JOIN cells c ON c.cell = p.cell
@@ -1165,7 +1259,10 @@ SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5"""))
     * centroids reproduce bit-for-bit. */
   private lazy val ivfCommon: String = {
     val nc = graft.operators.Ann.NumCells
-    val tm = graft.operators.Ann.TrainMod
+    val tm = {
+      import graft.operators.Ann.{TrainCap, TrainMod}
+      s"(SELECT greatest($TrainMod, (count(*) + ${TrainCap - 1}) // $TrainCap) FROM e)"
+    }
     s"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
