@@ -108,7 +108,7 @@ object Bench {
       if (e2eSecs.size % 2 == 1) e2eSecs(e2eSecs.size / 2)
       else (e2eSecs(e2eSecs.size / 2 - 1) + e2eSecs(e2eSecs.size / 2)) / 2
 
-    // --- per-query timings (cold, scan included) ---
+    // --- per-query timings ---
     // SPARK_GRAFT_E2E_ONLY=1 skips them (used for the N-vs-4N scaling runs,
     // which time only the pipeline).
     val e2eOnly = sys.env.get("SPARK_GRAFT_E2E_ONLY").contains("1")
@@ -119,6 +119,28 @@ object Bench {
       if (e2eOnly) Seq.empty
       else SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => only.isEmpty || only.contains(n) }
+    // Default mode is WARM: the shared pipeline stages are persisted ONCE
+    // and every query runs against them, so a query's time is its own
+    // operator cost — not the cost of rebuilding the whole pipeline cold
+    // (which made every export/uber query read as "slow" and hid real
+    // per-operator regressions inside rebuild noise). The e2e headline
+    // above stays fully cold. SPARK_GRAFT_COLD_QUERIES=1 restores the old
+    // cold-per-query behavior (cache cleared between queries).
+    val coldQueries = sys.env.get("SPARK_GRAFT_COLD_QUERIES").contains("1")
+    var warmupSec = 0.0
+    if (allQueries.nonEmpty && !coldQueries) {
+      val shared = Seq(
+        "transcripts" -> Pipeline.transcripts(spark, sfDir),
+        "linked" -> Pipeline.linked(spark, sfDir),
+        "triples" -> Pipeline.triplesWithConv(spark, sfDir))
+      val w0 = System.nanoTime()
+      shared.foreach { case (_, df) =>
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df.count() // eager: downstream branches must never race the cache
+      }
+      warmupSec = (System.nanoTime() - w0) / 1e9
+      System.err.println(f"[bench] pipeline warm-up $warmupSec%8.2fs")
+    }
     val results = allQueries.map { case (name, fn) =>
       val q0 = System.nanoTime()
       // a crashed query records its elapsed time AND lands in `failed` —
@@ -128,9 +150,13 @@ object Bench {
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
       val sec = (System.nanoTime() - q0) / 1e9
       System.err.println(f"[bench] $name%-22s $sec%8.2fs")
-      spark.catalog.clearCache() // queries persist intermediates; isolate them
+      // cold mode isolates queries by clearing ALL cache between them; warm
+      // mode keeps the shared stages hot (query-local persists accumulate
+      // for the pass — bounded at bench scale, dropped at the end)
+      if (coldQueries) spark.catalog.clearCache()
       (name, sec, ok)
     }
+    if (!coldQueries) spark.catalog.clearCache()
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val failed = results.filterNot(_._3).map("\"" + _._1 + "\"")
@@ -139,8 +165,9 @@ object Bench {
     val tps = (triples / e2eSec).toLong
     val rps = (turns / e2eSec).toLong
     val qTotal = results.map(_._2).sum
+    val qMode = if (coldQueries) "cold" else "warm"
     val json =
-      f"""{"metric":"kg_pipeline_e2e","value":$e2eSec%.3f,"unit":"sec","queries":$qs%s,"failed":$failed%s,"sf":"$sfDir%s","cpus":$cpus%s,"e2e_reps":${e2eSecs.map(s => f"$s%.3f").mkString("[", ",", "]")}%s,"turns":$turns%d,"triples":$triples%d,"canon_triples":$canonTriples%d,"triples_per_sec":$tps%d,"turns_per_sec":$rps%d,"query_total_sec":$qTotal%.3f}"""
+      f"""{"metric":"kg_pipeline_e2e","value":$e2eSec%.3f,"unit":"sec","queries":$qs%s,"failed":$failed%s,"sf":"$sfDir%s","cpus":$cpus%s,"e2e_reps":${e2eSecs.map(s => f"$s%.3f").mkString("[", ",", "]")}%s,"turns":$turns%d,"triples":$triples%d,"canon_triples":$canonTriples%d,"triples_per_sec":$tps%d,"turns_per_sec":$rps%d,"query_total_sec":$qTotal%.3f,"query_mode":"$qMode%s","warmup_sec":$warmupSec%.3f}"""
     println(json)
     // belt-and-braces: also drop the line where a stdout-parsing failure
     // can't lose it

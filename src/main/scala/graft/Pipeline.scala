@@ -27,6 +27,11 @@ object Pipeline {
   def triples(s: SparkSession, d: String): DataFrame =
     Emit.allTriples(s, d, transcripts(s, d), linked(s, d))
 
+  /** The triple table + precomputed `conv` column (for Quads/convStats —
+    * drops the per-row subject regex those consumers otherwise pay). */
+  def triplesWithConv(s: SparkSession, d: String): DataFrame =
+    Emit.allTriplesConv(s, d, transcripts(s, d), linked(s, d))
+
   def sameAsClusters(s: SparkSession, d: String): DataFrame =
     SameAs.closure(SameAs.edgesOf(triples(s, d)))
 

@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
 object Quads {
 
   /** Triple table → (graph, subj, pred, obj_value, obj_is_iri, obj_lang,
-    * obj_dtype). */
+    * obj_dtype). A precomputed `conv` column (Pipeline.triplesWithConv) is
+    * used when present; otherwise the conv is recovered by regex. */
   def export(triples: DataFrame): DataFrame = {
-    val conv = regexp_extract(col("subj"), "(conv_[0-9]+)", 1)
+    val conv = if (triples.columns.contains("conv")) col("conv")
+      else regexp_extract(col("subj"), "(conv_[0-9]+)", 1)
     triples.select(
       when(conv =!= "", concat(lit(Ns.conv), conv))
         .otherwise(lit(Ns.kg + "graph/uber")).as("graph"),

@@ -102,23 +102,29 @@ object Emit {
           lit("Context_"), col("ordinal").cast("string")))
   }
 
-  def contextTriples(linked: DataFrame): DataFrame = {
+  def contextTriples(linked: DataFrame): DataFrame =
+    contextTriplesConv(linked).select(tripleCols: _*)
+
+  /** Context triples + a precomputed `conv` column (the subject's conv is
+    * KNOWN at emission — recovering it downstream with a per-row regex
+    * over the biggest tables was the expensive way around). */
+  private[graft] def contextTriplesConv(linked: DataFrame): DataFrame = {
     val ctx = ctxFrame(linked)
     val typed = ctx.select(col("ctx_uri").as("subj"),
       lit(Ns.rdfType).as("pred"), lit(Ns.tContext).as("obj_value"),
       lit(true).as("obj_is_iri"), lit("").as("obj_lang"),
-      lit("").as("obj_dtype"))
+      lit("").as("obj_dtype"), col("conv_id").as("conv"))
     val target = ctx.select(col("ctx_uri").as("subj"),
       lit(Ns.hasTarget).as("pred"),
       concat(lit("/conv["), col("conv_id"), lit("]/turn["),
         col("turn_idx").cast("string"), lit("]")).as("obj_value"),
       lit(false).as("obj_is_iri"), lit("").as("obj_lang"),
-      lit("").as("obj_dtype"))
+      lit("").as("obj_dtype"), col("conv_id").as("conv"))
     val snip = ctx.select(col("ctx_uri").as("subj"),
       lit(Ns.hasSnippet).as("pred"),
       Fns.snippet(col("text")).as("obj_value"),
       lit(false).as("obj_is_iri"), lit("en").as("obj_lang"),
-      lit("").as("obj_dtype"))
+      lit("").as("obj_dtype"), col("conv_id").as("conv"))
     typed.unionAll(target).unionAll(snip)
   }
 
@@ -140,7 +146,10 @@ object Emit {
     * All URIs are functions of (conv, kind, ordinal) — same counters as the
     * contexts; all 8 triples are unique by construction (routed around the
     * fact distinct, like contexts). */
-  def activityTriples(linked: DataFrame): DataFrame = {
+  def activityTriples(linked: DataFrame): DataFrame =
+    activityTriplesConv(linked).select(tripleCols: _*)
+
+  private[graft] def activityTriplesConv(linked: DataFrame): DataFrame = {
     val base = ctxFrame(linked).filter(col("kind").isin(activityKinds: _*))
     val lex = Dates.lexicalOf(col("ts"), col("turn_idx"))
     val certCode = element_at(
@@ -159,7 +168,7 @@ object Emit {
           lang: String, dtype: org.apache.spark.sql.Column) =
       a.select(subj.as("subj"), lit(pred).as("pred"), obj.as("obj_value"),
         lit(isIri).as("obj_is_iri"), lit(lang).as("obj_lang"),
-        dtype.as("obj_dtype"))
+        dtype.as("obj_dtype"), col("conv_id").as("conv"))
     val label = concat(col("conv_id"), lit(" "), col("kind"),
       lit(" activity "), col("ordinal").cast("string"))
     t(col("act_uri"), Ns.rdfType, lit(Ns.tActivity), isIri = true, "", lit(""))
@@ -257,10 +266,23 @@ object Emit {
       .distinct()
 
   def allTriples(spark: SparkSession, dir: String,
-                 transcripts: DataFrame, linked: DataFrame): DataFrame = {
+                 transcripts: DataFrame, linked: DataFrame): DataFrame =
+    // one definition, two shapes: the plain table is the conv-annotated one
+    // minus `conv` (Catalyst prunes the conv/regex work per union branch)
+    allTriplesConv(spark, dir, transcripts, linked).select(tripleCols: _*)
+
+  /** The full graph + a precomputed `conv` column for conv-grouping
+    * consumers (Quads.export, Metrics.convStats). Context/activity rows —
+    * the bulk of the table — carry their conv from emission for free; only
+    * the (post-distinct, much smaller) fact rows pay one regex. Plain
+    * consumers that drop `conv` get the regex pruned away entirely by
+    * Catalyst, so allTriples keeps its exact cost. */
+  def allTriplesConv(spark: SparkSession, dir: String,
+                     transcripts: DataFrame, linked: DataFrame): DataFrame = {
     val l = persistedLinked(linked)
     factTriples(spark, dir, transcripts, l)
-      .unionAll(contextTriples(l))
-      .unionAll(activityTriples(l))
+      .withColumn("conv", regexp_extract(col("subj"), "(conv_[0-9]+)", 1))
+      .unionAll(contextTriplesConv(l))
+      .unionAll(activityTriplesConv(l))
   }
 }

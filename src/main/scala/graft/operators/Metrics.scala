@@ -24,8 +24,10 @@ object Metrics {
     * oracle reproduces it bit-for-bit.
     */
   def convStats(triples: DataFrame): DataFrame = {
+    val convCol = if (triples.columns.contains("conv")) col("conv")
+      else regexp_extract(col("subj"), "(conv_[0-9]+)", 1)
     val withConv = triples
-      .withColumn("conv", regexp_extract(col("subj"), "(conv_[0-9]+)", 1))
+      .withColumn("conv", convCol)
       .filter(col("conv") =!= "")
     val per = withConv.groupBy("conv").agg(count(lit(1)).as("n"))
     per.agg(
