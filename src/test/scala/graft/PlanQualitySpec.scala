@@ -75,6 +75,26 @@ class PlanQualitySpec extends SparkSpec {
       "IVF search must equi-join probe cells, never scan all pairs")
   }
 
+  test("round-4 families: broadcast-only joins, fact side never shuffles") {
+    spark.catalog.clearCache()
+    // gender + family: one broadcast join against the people dictionary
+    // each — the mention/linked fact side must not sort-merge
+    for ((name, plan) <- Seq(
+      "kg_gender" -> operators.Families.genderTriples(
+        spark, sfDir, Pipeline.mentions(spark, sfDir)),
+      "kg_family" -> operators.Families.familyTriples(
+        spark, sfDir, Pipeline.linked(spark, sfDir)))) {
+      val p = plan.queryExecution.executedPlan.toString
+      assert(!p.contains("SortMergeJoin"),
+        s"$name must broadcast the dictionary, not shuffle the fact side")
+      assert(!p.contains("CartesianProduct"), name)
+    }
+    // death causes: pure projection — the CAUSE_MAP is inlined, no join
+    val cod = operators.Families.deathCauses(Pipeline.transcripts(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert(!cod.contains("Join"), "CAUSE_MAP linking must be join-free")
+  }
+
   test("whole-stage codegen covers the extraction path (no UDF breaks)") {
     val plan = Pipeline.mentions(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("*(1)"), "extraction should sit in codegen stage 1")
