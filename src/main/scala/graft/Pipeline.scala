@@ -37,13 +37,16 @@ object Pipeline {
 
   def canonTriples(s: SparkSession, d: String): DataFrame = {
     // Only the FACT triples feed multiple consumers (edge extraction + the
-    // rewrite join) — persist just them. The snippet-heavy context triples
-    // stream through exactly once, uncached and untouched by the rewrite
-    // (the canon map holds identity URIs only). In the staged Run the
-    // materialized parquet plays the cache's role.
+    // candidate/bypass branches of the rewrite) — materialize just them,
+    // as a localCheckpoint: canonicalize's self-union over a merely
+    // CACHED plan silently rebuilds one branch (SameAs.canonicalize input
+    // contract), the RDD-backed checkpoint is read by every consumer. The
+    // snippet-heavy context triples stream through exactly once, untouched
+    // by the rewrite (the canon map holds identity URIs only). In the
+    // staged Run the materialized parquet plays the checkpoint's role.
     val l = Emit.persistedLinked(linked(s, d))
     val facts = Emit.factTriples(s, d, transcripts(s, d), l)
-      .persist(storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val canon = SameAs.closure(SameAs.edgesOf(facts))
     SameAs.canonicalize(facts, canon)
       .unionAll(Emit.contextTriples(l))

@@ -56,11 +56,11 @@ object SparkEntry {
     }),
     // LSH candidates verified with exact n-gram Jaccard (integer decision).
     // The shingle set feeds minhash + both sides of the verify join —
-    // persist it once instead of recomputing the explode 4×.
+    // localCheckpoint it once (a self-join over a merely CACHED plan
+    // silently rebuilds one side, like the canonicalize self-union).
     "doc_dedup_verified" -> ((s, d) => {
       val c = operators.Dedup.corpus(sources.Tables.documents(s, d))
-      val sh = operators.Dedup.shingles(c)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sh = operators.Dedup.shingles(c).localCheckpoint()
       val cand = operators.Dedup.lshCandidates(operators.Dedup.bands(
         operators.Dedup.minhash(sh)))
       operators.Dedup.jaccardVerify(cand, sh)
@@ -164,8 +164,7 @@ object SparkEntry {
     // direct n-gram Jaccard on the known near-dup pairs (no LSH)
     "doc_jaccard_pairs" -> ((s, d) => {
       val c = operators.Dedup.corpus(sources.Tables.documents(s, d))
-      val sh = operators.Dedup.shingles(c)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sh = operators.Dedup.shingles(c).localCheckpoint()
       import org.apache.spark.sql.functions._
       val pairs = sources.Tables.documents(s, d)
         .select(col("doc_id").as("a"), (col("doc_id") + 100000).as("b"))
@@ -238,12 +237,16 @@ object SparkEntry {
     // ...and its canonical form: the uber graph rewritten through the
     // sameAs closure (families emit no sameAs edges, so the identity map
     // is exactly the core pipeline's — e.g. works' reified agent records
-    // get their person participants collapsed onto canonical ids). The
-    // persist is eager: the closure and the rewrite both read the graph.
+    // get their person participants collapsed onto canonical ids).
+    // uberGraph() returns an eagerly-persisted frame: the closure and the
+    // rewrite read one materialization, and a warm bench pass shares it
+    // with kg_uber via the cache manager.
     "kg_uber_canon" -> ((s, d) => {
-      val u = uberGraph(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      u.count()
+      // localCheckpoint: canonicalize reads its input twice (candidate +
+      // bypass branches of ONE union) and a self-union over a merely
+      // CACHED plan silently rebuilds one branch (see SameAs.canonicalize
+      // input contract) — the RDD-backed checkpoint is read by both
+      val u = uberGraph(s, d).localCheckpoint()
       operators.SameAs.canonicalize(u,
         operators.SameAs.closure(operators.SameAs.edgesOf(u)))
     })
@@ -261,7 +264,7 @@ object SparkEntry {
     val tr = Pipeline.transcripts(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     tr.count()
-    Pipeline.triples(s, d)
+    val u = Pipeline.triples(s, d)
       .unionAll(operators.Emit.freestandingEvents(tr))
       .unionAll(operators.Extras.childrenCounts(Pipeline.linked(s, d)))
       .unionAll(operators.Works.workTriples(
@@ -278,6 +281,9 @@ object SparkEntry {
       .unionAll(operators.Families.familyTriples(s, d, Pipeline.linked(s, d)))
       .unionAll(operators.Families.deathCauses(tr))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    u.count() // eager: kg_uber_canon's closure + rewrite (and a warm
+    u         // kg_uber before it) read ONE materialization, never a race
   }
 
   def oracleSql: Map[String, String] = OracleSql.queries

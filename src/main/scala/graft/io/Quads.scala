@@ -39,13 +39,14 @@ object Quads {
     * on the driver beyond the loop counter. Output: original quads ∪ the
     * copied levels, set semantics. */
   def bfs(triples: DataFrame): DataFrame = {
-    // the triple table feeds the quad base AND the copy join — persist it
-    // once or every consumer recomputes the whole upstream pipeline. The
-    // persist is forced EAGERLY: inside the single final job, the union's
-    // branches otherwise race to materialize the cache and recompute the
-    // full pipeline several times in parallel before it fills.
-    val t = triples.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    t.count()
+    // the triple table feeds the quad base AND the copy join — two
+    // branches of ONE final union. localCheckpoint, not persist: a
+    // self-union over a merely cached plan silently rebuilds one branch
+    // (Spark's cache substitution fails there — see SameAs.canonicalize
+    // input contract); the RDD-backed checkpoint is eagerly materialized
+    // once and read by every branch, which also kills the cache-fill race
+    // the old eager persist worked around.
+    val t = triples.localCheckpoint()
     val quads = export(t)
     // Frontier expansion factors through the DISTINCT IRI edge set: level
     // k+1's frontier = distinct (graph, obj) of frontier_k ⋈ triples, which
@@ -56,7 +57,7 @@ object Quads {
     // frontier⋈triples joins with 2 slim 2-column hops + 1 copy join.
     val edges = t.filter(col("obj_is_iri"))
       .select(col("subj"), col("obj_value").as("dst")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint() // feeds every frontier hop — same self-union rule
     // HOME-GRAPH PRUNING (pure narrow filter, no join): the graph label is
     // a FUNCTION of the subject, so a node n with graphOf(n) == g already
     // has ALL its triples in g — copying them is a no-op under the final

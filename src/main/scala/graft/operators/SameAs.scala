@@ -70,15 +70,34 @@ object SameAs {
     * (the rewrite can collapse previously distinct triples — same as the
     * reference's PERSON_MAP substitution collapsing graph nodes).
     *
-    * Scale split: the canon map's domain is identity URIs (persons/VIAF),
-    * which can never appear in a context-subject triple — so the
-    * snippet-heavy context rows bypass both the join and the re-distinct.
-    * Only the (much smaller) fact subset pays the shuffle. Result is
-    * set-identical to rewriting+distincting everything.
+    * Scale split: the canon map's DOMAIN is the identity namespaces
+    * (person/VIAF URIs — the only nodes sameAs edges mention), and its
+    * labels stay inside that domain (a cluster's min label is one of its
+    * members). So a row is a rewrite CANDIDATE only if its subject or IRI
+    * object sits in the domain; every other row — contexts, names,
+    * titles, events, exports: the bulk of the graph's bytes — bypasses
+    * the join AND the re-distinct untouched. Set-identical to rewriting +
+    * distincting everything: the input is dup-free, candidates keep a
+    * domain URI in the slot that made them candidates after rewriting, so
+    * the two sides can never collide.
+    *
+    * INPUT CONTRACT: `triples` is read TWICE (candidate + bypass branches
+    * of one union). Pass a frame that re-scans cheaply — a parquet stage
+    * (Run) or a localCheckpoint. A merely .persist()ed frame is NOT
+    * enough: Spark's cache substitution silently fails for one branch of
+    * a self-union over a cached plan, and that branch rebuilds the whole
+    * upstream pipeline (measured 30 s vs 3 s on the uber graph —
+    * round-3's entire kg_uber_canon heavy tail was this).
     */
+  val canonDomain: Seq[String] = Seq(Ns.person, Ns.viaf)
+
   def canonicalize(triples: DataFrame, canon: DataFrame): DataFrame = {
-    val ctx = triples.filter(col("subj").startsWith(Ns.ctx))
-    val facts = triples.filter(!col("subj").startsWith(Ns.ctx))
+    def inDomain(c: org.apache.spark.sql.Column) =
+      canonDomain.map(c.startsWith(_)).reduce(_ || _)
+    val isCand = inDomain(col("subj")) ||
+      (col("obj_is_iri") && inDomain(col("obj_value")))
+    val bypass = triples.filter(!isCand)
+    val facts = triples.filter(isCand)
     // The canon map comes out of a localCheckpoint, which hides size stats
     // from AQE — without an explicit hint these joins plan as full shuffles
     // of the fact table. Broadcast while the identity map is broadcastable
@@ -101,6 +120,6 @@ object SameAs {
         coalesce(col("o_canon"), col("obj_value")).as("obj_value"),
         col("obj_is_iri"), col("obj_lang"), col("obj_dtype"))
       .distinct()
-    rewritten.unionAll(ctx)
+    rewritten.unionAll(bypass)
   }
 }
