@@ -228,6 +228,9 @@ object SparkEntry {
     // title↔BIBCIT matching report (titles/readFiles.py:37-108)
     "kg_title_refs" -> ((s, d) =>
       operators.Families.titleRefs(Pipeline.transcripts(s, d))),
+    // cross-file title dictionary (titles/readFiles.py:9-34 + dict merge)
+    "kg_title_dict" -> ((s, d) =>
+      operators.Families.titleDict(Pipeline.transcripts(s, d))),
     // K3 FULL combineTriples analog: the core graph ∪ EVERY standalone
     // emission family (the reference's cross-module uber graph), set
     // semantics. One distinct shuffle over the combined output; every

@@ -196,6 +196,21 @@ object Families {
   def refTitle(k: Column): Column =
     concat(lit("Title_"), (k * 2).cast("string"))
 
+  /** kg_title_dict (`titles/readFiles.py:9-34` parseFile + the main-loop
+    * dict builder): the cross-file title dictionary — one row per
+    * normalized title with the merged, deduplicated document list (the
+    * reference accumulates `documents` across files into one CSV). The
+    * reg-attr normalization branch lives in the Titles authority
+    * (title_extraction.py analog); here the normalized form IS the
+    * surface. One groupBy over the slim title-mention frame. */
+  def titleDict(tr: DataFrame): DataFrame =
+    tr.withColumn("title",
+      regexp_extract(col("text"), "reading (Title_[0-9]+)", 1))
+      .filter(col("title") =!= "")
+      .groupBy("title")
+      .agg(countDistinct(col("conv_id")).as("n_documents"),
+        array_join(array_sort(collect_set(col("conv_id"))), "|").as("documents"))
+
   /** kg_title_refs (`titles/readFiles.py:37-108` compareTitleRefs): per
     * conversation (↔ file), every first-seen title (titles_seen dedup,
     * :43-59) is compared against the file's bibcit: the FIRST tool turn

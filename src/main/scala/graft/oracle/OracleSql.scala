@@ -490,6 +490,12 @@ misses AS (SELECT DISTINCT cause, $codKey AS key FROM codf
            WHERE $codKey NOT IN ($allClean))
 SELECT m.cause, c.category, c.candidate, levenshtein(m.key, c.cand_key) AS lev
 FROM misses m JOIN codc c ON levenshtein(m.key, c.cand_key) <= 3"""),
+      "kg_title_dict" -> (BASE + s""", ttl AS (
+  SELECT conv_id, regexp_extract(text, 'reading (Title_[0-9]+)', 1) AS title FROM tr
+  WHERE regexp_extract(text, 'reading (Title_[0-9]+)', 1) <> '')
+SELECT title, count(DISTINCT conv_id) AS n_documents,
+       string_agg(DISTINCT conv_id, '|' ORDER BY conv_id) AS documents
+FROM ttl GROUP BY title"""),
       "kg_title_refs" -> (BASE + s""", ttl AS (
   SELECT conv_id, turn_idx, regexp_extract(text, 'reading (Title_[0-9]+)', 1) AS title FROM tr
   WHERE regexp_extract(text, 'reading (Title_[0-9]+)', 1) <> ''),
