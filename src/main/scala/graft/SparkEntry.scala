@@ -231,6 +231,10 @@ object SparkEntry {
     // cross-file title dictionary (titles/readFiles.py:9-34 + dict merge)
     "kg_title_dict" -> ((s, d) =>
       operators.Families.titleDict(Pipeline.transcripts(s, d))),
+    // birth-position mapping incl. the MIDDLE: colon quirk
+    // (birthDeath.py:40-52)
+    "kg_birth_position" -> ((s, d) =>
+      operators.Families.birthPositionTriples(Pipeline.transcripts(s, d))),
     // K3 FULL combineTriples analog: the core graph ∪ EVERY standalone
     // emission family (the reference's cross-module uber graph), set
     // semantics. One distinct shuffle over the combined output; every
@@ -283,6 +287,7 @@ object SparkEntry {
       .unionAll(operators.Families.genderTriples(s, d, Pipeline.mentions(s, d)))
       .unionAll(operators.Families.familyTriples(s, d, Pipeline.linked(s, d)))
       .unionAll(operators.Families.deathCauses(tr))
+      .unionAll(operators.Families.birthPositionTriples(tr))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     u.count() // eager: kg_uber_canon's closure + rewrite (and a warm

@@ -110,6 +110,40 @@ object Families {
       .distinct()
   }
 
+  // ---- birth-position family ---------------------------------------------
+
+  /** kg_birth_position (`Biography/birthDeath.py:40-52`
+    * get_birthposition_uris): BIRTHPOSITION values map to
+    * biography:onlyChild / eldestChild / youngestChild / middleChild —
+    * EXCEPT that the reference compares against the literal "MIDDLE:"
+    * (trailing colon, an upstream typo), so a plain MIDDLE value NEVER
+    * maps and silently emits nothing. Replayed verbatim. Graft: the
+    * birth-name clause ("born Given_i Family_j", eid%17==0) plays the
+    * BIRTH block; its position attr is (eid DIV 17) % 4 over
+    * [ONLY, ELDEST, YOUNGEST, MIDDLE]. Join-free narrow projection. */
+  val birthPositions: Seq[(String, String)] = Seq(
+    "ONLY" -> "onlyChild", "ELDEST" -> "eldestChild",
+    "YOUNGEST" -> "youngestChild", "MIDDLE:" -> "middleChild")
+
+  def birthPositionTriples(tr: DataFrame): DataFrame = {
+    val eid = substring(col("conv_id"), 6, 6).cast("long") * 20 + col("turn_idx")
+    val pos = element_at(
+      array(Seq("ONLY", "ELDEST", "YOUNGEST", "MIDDLE").map(lit): _*),
+      (floor(eid / 17).cast("long") % 4).cast("int") + 1)
+    val uri = birthPositions.foldRight(lit(null).cast("string")) {
+      case ((k, v), acc) => when(col("pos") === k, lit(Ns.bio + v)).otherwise(acc)
+    }
+    tr.filter(eid % 17 === 0 && col("text").contains(" born "))
+      .withColumn("pos", pos)
+      .withColumn("uri", uri)
+      .filter(col("uri").isNotNull) // MIDDLE: quirk — plain MIDDLE drops out
+      .select(concat(lit(Ns.conv), col("conv_id")).as("subj"),
+        lit(Ns.pred + "birthPosition").as("pred"),
+        col("uri").as("obj_value"), lit(true).as("obj_is_iri"),
+        lit("").as("obj_lang"), lit("").as("obj_dtype"))
+      .distinct()
+  }
+
   // ---- cause-of-death linking --------------------------------------------
 
   /** CAUSE_MAP analog (`Biography/birthDeath.py:28-36` create_cause_map +

@@ -490,6 +490,21 @@ misses AS (SELECT DISTINCT cause, $codKey AS key FROM codf
            WHERE $codKey NOT IN ($allClean))
 SELECT m.cause, c.category, c.candidate, levenshtein(m.key, c.cand_key) AS lev
 FROM misses m JOIN codc c ON levenshtein(m.key, c.cand_key) <= 3"""),
+      "kg_birth_position" -> {
+        val posCase = Families.birthPositions.map { case (k, v) =>
+          s"WHEN '$k' THEN '${Ns.bio}$v'"
+        }.mkString("CASE pos ", " ", " END")
+        BASE + s""", bp AS (
+  SELECT conv_id, (CAST(substr(conv_id, 6) AS BIGINT) * 20 + turn_idx) AS eid FROM tr
+  WHERE (CAST(substr(conv_id, 6) AS BIGINT) * 20 + turn_idx) % 17 = 0
+    AND strpos(text, ' born ') > 0),
+bpp AS (SELECT conv_id,
+  ['ONLY','ELDEST','YOUNGEST','MIDDLE'][CAST((eid // 17) % 4 AS INT) + 1] AS pos FROM bp),
+bpu AS (SELECT conv_id, $posCase AS uri FROM bpp)
+SELECT DISTINCT '${Ns.conv}' || conv_id AS subj, '${Ns.pred}birthPosition' AS pred,
+  uri AS obj_value, TRUE AS obj_is_iri, '' AS obj_lang, '' AS obj_dtype
+FROM bpu WHERE uri IS NOT NULL"""
+      },
       "kg_title_dict" -> (BASE + s""", ttl AS (
   SELECT conv_id, regexp_extract(text, 'reading (Title_[0-9]+)', 1) AS title FROM tr
   WHERE regexp_extract(text, 'reading (Title_[0-9]+)', 1) <> '')
@@ -523,7 +538,7 @@ WHERE b.dbref IS NULL OR b.dbref >= 3"""))
     "kg_triples", "kg_freestanding", "kg_children", "kg_works",
     "kg_works_agents", "kg_names", "kg_titles", "kg_writing",
     "kg_lifeinfo", "kg_citations", "kg_other_contexts",
-    "kg_gender", "kg_family", "kg_death_causes")
+    "kg_gender", "kg_family", "kg_death_causes", "kg_birth_position")
 
   private lazy val uberSql: String =
     "SELECT subj, pred, obj_value, obj_is_iri, obj_lang, obj_dtype FROM (" +

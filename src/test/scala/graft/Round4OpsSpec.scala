@@ -102,6 +102,20 @@ class Round4OpsSpec extends SparkSpec {
       ("c", "Title_4", "unmatched", -1)))
   }
 
+  test("birth position: MIDDLE never maps (the reference's MIDDLE: typo)") {
+    // eids 17, 34, 51, 68 → positions (eid DIV 17) % 4 = 1,2,3,0 →
+    // ELDEST, YOUNGEST, MIDDLE, ONLY; MIDDLE must silently drop
+    val rows = Seq(17L, 34L, 51L, 68L).map { eid =>
+      (f"conv_${eid / 20}%06d", (eid % 20).toInt, "user",
+        "x born Given_1 Family_2.", "", ts)
+    }.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val got = Families.birthPositionTriples(rows)
+      .as[model.Triple].collect().toSet
+    val objs = got.map(_.obj_value)
+    assert(objs == Set(Ns.bio + "eldestChild", Ns.bio + "youngestChild",
+      Ns.bio + "onlyChild"), s"got $objs")
+  }
+
   test("writing: Oeuvre node typed+labelled+authored, extent attached") {
     val t = tr(("c1", 1, "system", "summary text working as weaver.", ""))
     val got = operators.Profiles.writingTriples(t)
