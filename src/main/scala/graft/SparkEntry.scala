@@ -235,6 +235,9 @@ object SparkEntry {
     // (birthDeath.py:40-52)
     "kg_birth_position" -> ((s, d) =>
       operators.Families.birthPositionTriples(Pipeline.transcripts(s, d))),
+    // marital-status changes per member tag (lifeInfo.py:61-67,403-408)
+    "kg_marital" -> ((s, d) =>
+      operators.Families.maritalTriples(Pipeline.mentions(s, d))),
     // K3 FULL combineTriples analog: the core graph ∪ EVERY standalone
     // emission family (the reference's cross-module uber graph), set
     // semantics. One distinct shuffle over the combined output; every
@@ -288,6 +291,7 @@ object SparkEntry {
       .unionAll(operators.Families.familyTriples(s, d, Pipeline.linked(s, d)))
       .unionAll(operators.Families.deathCauses(tr))
       .unionAll(operators.Families.birthPositionTriples(tr))
+      .unionAll(operators.Families.maritalTriples(Pipeline.mentions(s, d)))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     u.count() // eager: kg_uber_canon's closure + rewrite (and a warm

@@ -144,6 +144,32 @@ object Families {
       .distinct()
   }
 
+  // ---- marital-status family ---------------------------------------------
+
+  /** kg_marital (`Biography/lifeInfo.py:61-67` + :403-408): MEMBER tags
+    * contribute at most ONE of each MARRIAGE / SEPARATION / DIVORCE tag
+    * (find_all limit=1 per type, in that order), each becoming a
+    * `<person> biography:maritalStatusChange biography:<tagname>` triple
+    * attached alongside the family relations. Graft: a person mention
+    * (the MEMBER analog) carries a marriage tag iff eid%3==0, separation
+    * iff eid%4==0, divorce iff eid%6==0 — the limit=1 semantics folds
+    * into the per-conv distinct. Join-free narrow projection. */
+  val maritalTags: Seq[(String, Long)] =
+    Seq("marriage" -> 3L, "separation" -> 4L, "divorce" -> 6L)
+
+  def maritalTriples(mentions: DataFrame): DataFrame = {
+    val eid = substring(col("conv_id"), 6, 6).cast("long") * 20 + col("turn_idx")
+    val members = mentions.filter(col("kind") === "person")
+    val convUri = concat(lit(Ns.conv), col("conv_id"))
+    maritalTags.map { case (status, m) =>
+      members.filter(eid % m === 0)
+        .select(convUri.as("subj"),
+          lit(Ns.pred + "maritalStatusChange").as("pred"),
+          lit(Ns.bio + status).as("obj_value"), lit(true).as("obj_is_iri"),
+          lit("").as("obj_lang"), lit("").as("obj_dtype"))
+    }.reduce(_ unionAll _).distinct()
+  }
+
   // ---- cause-of-death linking --------------------------------------------
 
   /** CAUSE_MAP analog (`Biography/birthDeath.py:28-36` create_cause_map +

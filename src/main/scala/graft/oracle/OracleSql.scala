@@ -490,6 +490,20 @@ misses AS (SELECT DISTINCT cause, $codKey AS key FROM codf
            WHERE $codKey NOT IN ($allClean))
 SELECT m.cause, c.category, c.candidate, levenshtein(m.key, c.cand_key) AS lev
 FROM misses m JOIN codc c ON levenshtein(m.key, c.cand_key) <= 3"""),
+      "kg_marital" -> {
+        val branches = Families.maritalTags.map { case (status, m) =>
+          s"""SELECT '${Ns.conv}' || conv_id AS subj,
+  '${Ns.pred}maritalStatusChange' AS pred, '${Ns.bio}$status' AS obj_value,
+  TRUE AS obj_is_iri, '' AS obj_lang, '' AS obj_dtype
+FROM mem WHERE eid % $m = 0"""
+        }.mkString("\n  UNION ALL ")
+        BASE + s""", mem AS (
+  SELECT conv_id, (CAST(substr(conv_id, 6) AS BIGINT) * 20 + turn_idx) AS eid
+  FROM men WHERE kind = 'person')
+SELECT DISTINCT * FROM (
+  $branches
+)"""
+      },
       "kg_birth_position" -> {
         val posCase = Families.birthPositions.map { case (k, v) =>
           s"WHEN '$k' THEN '${Ns.bio}$v'"
@@ -538,7 +552,8 @@ WHERE b.dbref IS NULL OR b.dbref >= 3"""))
     "kg_triples", "kg_freestanding", "kg_children", "kg_works",
     "kg_works_agents", "kg_names", "kg_titles", "kg_writing",
     "kg_lifeinfo", "kg_citations", "kg_other_contexts",
-    "kg_gender", "kg_family", "kg_death_causes", "kg_birth_position")
+    "kg_gender", "kg_family", "kg_death_causes", "kg_birth_position",
+    "kg_marital")
 
   private lazy val uberSql: String =
     "SELECT subj, pred, obj_value, obj_is_iri, obj_lang, obj_dtype FROM (" +
