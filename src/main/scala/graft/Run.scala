@@ -54,9 +54,15 @@ object Run {
     val triples = m.stage("triples", partitionCols = Seq("bucket")) {
       // bucket = hash(subj) — the Iceberg bucket(subj) analog, written as a
       // DIRECTORY partition (K1: the per-entity sink) so per-entity reads
-      // prune to one bucket directory instead of scanning the uber table
+      // prune to one bucket directory instead of scanning the uber table.
+      // Shuffle onto the bucket key before the write: without it every
+      // upstream task writes into every bucket directory (tasks × buckets
+      // files — 480 small files at bench scale) and the commit + every
+      // downstream scan pays the fan-out; with it each bucket is written
+      // by its own task(s) (one file per bucket, splittable on read).
       Emit.allTriples(spark, sfDir, transcripts, linked)
         .withColumn("bucket", pmod(xxhash64(col("subj")), lit(16)))
+        .repartition(spark.sparkContext.defaultParallelism, col("bucket"))
     }
     val canon = m.stage("canon") {
       val t = triples.drop("bucket")
