@@ -21,9 +21,25 @@ import org.apache.spark.sql.functions._
   */
 object SameAs {
 
+  /** Driver fast-path bound: identity-edge sets up to this size are
+    * closed with an in-memory union-find (one collect, zero iterative
+    * Spark jobs — the per-pass job overhead dominates the iterative
+    * closure at small scale). Beyond it the iterative min-label
+    * propagation below runs — the 10⁹-entity scale path. Both produce
+    * the identical (node, min-of-component) map. */
+  val DriverClosureCap = 100000L
+
   /** edges(a, b) → (node, canon): every node of the edge set mapped to the
     * lexicographic min of its connected component. */
-  def closure(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def closure(edges: DataFrame, maxIter: Int = 20): DataFrame =
+    if (edges.limit((DriverClosureCap + 1).toInt).count() <= DriverClosureCap)
+      closureOnDriver(edges)
+    else closureIterative(edges, maxIter)
+
+  /** The distributed min-label-propagation closure — the big-edge-set
+    * path; kept equivalence-tested against the driver fast path
+    * (Round4OpsSpec). */
+  private[graft] def closureIterative(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val und = edges.select(col("a"), col("b"))
       .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
@@ -59,6 +75,41 @@ object SameAs {
       i += 1
     }
     labels.select(col("node"), col("label").as("canon"))
+  }
+
+  /** Union-find (path-halving) closure over a driver-collected edge set;
+    * canon = lexicographic min of each component — bit-identical to the
+    * iterative propagation's fixpoint. */
+  private def closureOnDriver(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select(col("a"), col("b")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val parent = scala.collection.mutable.HashMap.empty[String, String]
+    def find(x0: String): String = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) {
+        val p = parent(x)
+        parent(x) = parent.getOrElse(p, p) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(rb) = ra
+      parent.getOrElseUpdate(a, find(a)); parent.getOrElseUpdate(b, find(b))
+    }
+    val nodes = es.iterator.flatMap { case (a, b) => Iterator(a, b) }.toSet
+    val minOf = scala.collection.mutable.HashMap.empty[String, String]
+    nodes.foreach { n =>
+      val r = find(n)
+      minOf.get(r) match {
+        case Some(m) if m <= n => ()
+        case _ => minOf(r) = math.Ordering.String.min(minOf.getOrElse(r, n), n)
+      }
+    }
+    nodes.toSeq.sorted.map(n => (n, minOf(find(n)))).toDF("node", "canon")
   }
 
   /** Extract sameAs edges from a triple table. */

@@ -102,6 +102,21 @@ class Round4OpsSpec extends SparkSpec {
       ("c", "Title_4", "unmatched", -1)))
   }
 
+  test("closure: driver union-find ≡ iterative min-label propagation") {
+    // chains, a star, a singleton edge, and two disjoint components —
+    // incl. a merge where the min label arrives via the LATER union
+    val edges = Seq(
+      ("n5", "n4"), ("n4", "n3"), ("n3", "n2"), ("n2", "n1"),
+      ("hub", "s1"), ("hub", "s2"), ("hub", "s3"), ("s3", "a0"),
+      ("x2", "x1"), ("z9", "z8")).toDF("a", "b")
+    val fast = operators.SameAs.closure(edges)
+      .as[(String, String)].collect().toSet
+    val iter = operators.SameAs.closureIterative(edges)
+      .as[(String, String)].collect().toSet
+    assert(fast == iter, s"driver=$fast iterative=$iter")
+    assert(fast.contains(("n5", "n1")) && fast.contains(("hub", "a0")))
+  }
+
   test("birth position: MIDDLE never maps (the reference's MIDDLE: typo)") {
     // eids 17, 34, 51, 68 → positions (eid DIV 17) % 4 = 1,2,3,0 →
     // ELDEST, YOUNGEST, MIDDLE, ONLY; MIDDLE must silently drop
