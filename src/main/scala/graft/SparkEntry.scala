@@ -238,38 +238,77 @@ object SparkEntry {
     // marital-status changes per member tag (lifeInfo.py:61-67,403-408)
     "kg_marital" -> ((s, d) =>
       operators.Families.maritalTriples(Pipeline.mentions(s, d))),
+    // education family node shapes: typed contexts, School nodes,
+    // attending/level dispatch, Degree credentials, EducationalAward
+    // keyword classifier (education.py:75-335, award_map :146-180)
+    "kg_education" -> ((s, d) =>
+      operators.Education.educationTriples(Pipeline.linked(s, d))),
+    // FRIENDSASSOCIATES contexts: cohabitant/interpersonal relations +
+    // per-predicate relationship Activities (lifeInfo.py:205-264)
+    "kg_friends" -> ((s, d) =>
+      operators.Relations.friendTriples(Pipeline.linked(s, d))),
+    // INTIMATERELATIONSHIPS contexts: EROTIC-attr predicate dispatch +
+    // the exactly-one-name precision rule (lifeInfo.py:109-188)
+    "kg_intimate" -> ((s, d) =>
+      operators.Relations.intimateTriples(Pipeline.linked(s, d))),
+    // typed cultural-form sub-family contexts + CF activities
+    // (culturalForm.py:355-413 + data/context_mapping.csv)
+    "kg_cf_contexts" -> ((s, d) =>
+      operators.Relations.cfContextTriples(Pipeline.transcripts(s, d))),
     // K3 FULL combineTriples analog: the core graph ∪ EVERY standalone
     // emission family (the reference's cross-module uber graph), set
     // semantics. One distinct shuffle over the combined output; every
     // branch is the same plan its own gate verifies. kg_labels excluded —
     // reviewTerms checks the graph, it doesn't emit into it.
-    "kg_uber" -> ((s, d) => uberGraph(s, d)),
+    "kg_uber" -> ((s, d) => uberStaged(s, d)),
     // ...and its canonical form: the uber graph rewritten through the
     // sameAs closure (families emit no sameAs edges, so the identity map
     // is exactly the core pipeline's — e.g. works' reified agent records
     // get their person participants collapsed onto canonical ids).
-    // uberGraph() returns an eagerly-persisted frame: the closure and the
-    // rewrite read one materialization, and a warm bench pass shares it
-    // with kg_uber via the cache manager.
+    // uberStaged() is one pass-lifetime localCheckpoint: kg_uber counts
+    // it, this query closes + rewrites over the SAME materialization (the
+    // staged-Run shape), and the checkpoint satisfies canonicalize's
+    // read-twice input contract by construction.
     "kg_uber_canon" -> ((s, d) => {
-      // localCheckpoint: canonicalize reads its input twice (candidate +
-      // bypass branches of ONE union) and a self-union over a merely
-      // CACHED plan silently rebuilds one branch (see SameAs.canonicalize
-      // input contract) — the RDD-backed checkpoint is read by both
-      val u = uberGraph(s, d).localCheckpoint()
+      val u = uberStaged(s, d)
       operators.SameAs.canonicalize(u,
         operators.SameAs.closure(operators.SameAs.edgesOf(u)))
     })
   )
 
-  /** The cross-module uber graph (shared by kg_uber and kg_uber_canon).
-    * The union's branch list derives from OracleSql.uberParts (one branch
-    * per family fragment — keep them in lockstep). The transcript frame
-    * feeds the family branches of one union job — persisted eagerly so the
-    * branches read one materialization instead of racing the cache into
-    * N re-syntheses. The in-query persist is a harness-only construct: the
+  /** Memo for the staged uber graph: one build + localCheckpoint per
+    * (SparkContext, dir), revalidated against the block store so a
+    * Caches.releaseAll (end of a verify/bench pass) naturally invalidates
+    * it. Keyed by context identity — RDD ids restart at 0 in a fresh
+    * context, so a dir-only key could false-positively "revalidate". */
+  private val uberMemo =
+    scala.collection.mutable.Map.empty[String, (DataFrame, Set[Int])]
+
+  /** The cross-module uber graph, staged (SURVEY §3.3): built once per
+    * pass, localCheckpoint'd, RETAINED across the harness's per-query
+    * Caches.release(). The union's branch list derives from
+    * OracleSql.uberParts (one branch per family fragment — keep them in
+    * lockstep). The in-query checkpoint is a harness-only construct: the
     * production path is the staged Run, which materializes stage outputs
-    * as parquet instead of caching inside one job. */
+    * as parquet instead. */
+  private[graft] def uberStaged(s: SparkSession, d: String): DataFrame =
+    synchronized {
+      val key = System.identityHashCode(s.sparkContext) + ":" + d
+      uberMemo.get(key) match {
+        case Some((df, ids)) if Caches.allLive(s, ids) => df
+        case _ =>
+          val (df, ids) = Caches.trackedCheckpoint(uberGraph(s, d))
+          Caches.retainIds(ids)
+          uberMemo(key) = (df, ids)
+          df
+      }
+    }
+
+  /** One cold build of the 16-branch union. The transcript frame feeds the
+    * family branches of one union job — persisted eagerly so the branches
+    * read one materialization instead of racing the cache into N
+    * re-syntheses; released once the caller's checkpoint has materialized
+    * the result. */
   private def uberGraph(s: SparkSession, d: String): DataFrame = {
     val tr = Pipeline.transcripts(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -292,10 +331,14 @@ object SparkEntry {
       .unionAll(operators.Families.deathCauses(tr))
       .unionAll(operators.Families.birthPositionTriples(tr))
       .unionAll(operators.Families.maritalTriples(Pipeline.mentions(s, d)))
+      .unionAll(operators.Education.educationTriples(Pipeline.linked(s, d)))
+      .unionAll(operators.Relations.friendTriples(Pipeline.linked(s, d)))
+      .unionAll(operators.Relations.intimateTriples(Pipeline.linked(s, d)))
+      .unionAll(operators.Relations.cfContextTriples(tr))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    u.count() // eager: kg_uber_canon's closure + rewrite (and a warm
-    u         // kg_uber before it) read ONE materialization, never a race
+    u // uberStaged checkpoints (materializes) this; tr's cache lives until
+      // the harness's next Caches.release() — NOT unpersisted here, because
+      // its plan may BE the bench's warm shared transcript cache entry
   }
 
   def oracleSql: Map[String, String] = OracleSql.queries

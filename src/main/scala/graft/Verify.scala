@@ -39,8 +39,13 @@ object Verify {
         -1L
       }
       spark.catalog.clearCache() // queries persist intermediates; isolate them
+      // ...and free their localCheckpoint blocks too (clearCache never
+      // does) — the retained staged uber graph survives so kg_uber_canon
+      // reuses kg_uber's materialization
+      Caches.release(spark)
       name -> n
     }
+    Caches.releaseAll(spark) // end of pass: zero residual checkpoint blocks
     Files.writeString(Paths.get(s"$outDir/manifest.json"),
       counts.map { case (k, v) => s""""$k": $v""" }.mkString("{", ",", "}"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -12,6 +12,15 @@ import org.apache.spark.sql.functions._
   */
 object Fns {
 
+  /** The synthetic event id of a turn, recovered from its keys: the conv
+    * number (conv_id's digits — NO length cap, so the derivation agrees
+    * with the oracle's `substr(conv_id, 6)` for conv numbers of ANY digit
+    * count, not just the lpad-6 fixture domain) × 20 + turn_idx. Every
+    * arithmetic family attribute (relation index, marital tags, birth
+    * position, CF families, …) derives from this ONE shared column. */
+  def eidCol: Column =
+    expr("substring(conv_id, 6)").cast("long") * 20 + col("turn_idx")
+
   /** `clean_term` — the cultural-form variant of the reference's term
     * normalizer (`Biography/culturalForm.py:513-521`):
     * lowercase → "-"→" " → strip → remove spaces → drop trailing "s" →

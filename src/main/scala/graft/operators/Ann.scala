@@ -52,8 +52,9 @@ object Ann {
     * asc) — ids only, so float-precision noise can't leak into the
     * compared values. */
   def bruteForceTopK(emb: DataFrame, k: Int = 5): DataFrame = {
+    val n = emb.count() // once per call — queryModFor is pure arithmetic
     val p = prepared(emb)
-    val q = p.filter(col("vec_id") % queryModFor(emb.count()) === 0)
+    val q = p.filter(col("vec_id") % queryModFor(n) === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
     val joined = p.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("norm")))
@@ -134,8 +135,9 @@ object Ann {
     * equi-joins + distinct (an OR join predicate would plan as NLJ).
     * Recall tested against the exact brute force (DotProductSpec). */
   def lshSearch(emb: DataFrame, k: Int = 5): DataFrame = {
+    val n = emb.count() // once per call
     val p = annotated(emb)
-    val q = p.filter(col("vec_id") % queryModFor(emb.count()) === 0)
+    val q = p.filter(col("vec_id") % queryModFor(n) === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("norm").as("qn"), col("bucket").as("qbucket"))
     val qb = broadcast(q)
@@ -200,15 +202,14 @@ object Ann {
     * Returns (cellId = SEED vec_id, centroid, norm) — keying cells by the
     * seed's vec_id (not its position) matches the oracle on sparse or
     * offset vec_id domains, not just the fixture's dense-from-0 one. */
-  private def centroids(emb: DataFrame): Seq[(Long, Seq[Double], Double)] = {
-    val p = prepared(emb)
+  private def centroids(p: DataFrame, n: Long): Seq[(Long, Seq[Double], Double)] = {
     val seeds = p.filter(col("vec_id") < NumCells).select("vec_id", "v")
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
       .sortBy(_._1)
     if (seeds.isEmpty) return Seq.empty
     val seedVecs = seeds.map(_._2)
     val seedNorm = seedVecs.map(s => math.sqrt(seqDot(s, s)))
-    val train = p.filter(col("vec_id") % trainModFor(emb.count()) === 0)
+    val train = p.filter(col("vec_id") % trainModFor(n) === 0)
       .select("vec_id", "v")
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
       .sortBy(_._1)
@@ -247,7 +248,10 @@ object Ann {
     * its cell id. */
   private def cellExpr(v: Column, cents: Seq[(Long, Seq[Double], Double)]): Column =
     cents match {
-      case Seq() => lit(0L)
+      case Seq() => // callers return a typed EMPTY frame instead (a constant
+        // cell here would assign every row cell 0 on corpora whose vec_ids
+        // all exceed NumCells, while the oracle's cells CTE is empty)
+        throw new IllegalArgumentException("cellExpr needs ≥1 centroid")
       case Seq((cid, _, _)) => lit(cid)
       case _ =>
         -greatest(cents.map { case (cid, cv, cn) =>
@@ -258,8 +262,13 @@ object Ann {
   /** IVF index: (vec_id, cell) — each vector assigned to its argmax-cosine
     * coarse centroid. */
   def ivfCells(emb: DataFrame): DataFrame = {
-    val cs = centroids(emb)
-    prepared(emb).select(col("vec_id"),
+    val n = emb.count() // once per call — feeds trainModFor only
+    val p = prepared(emb)
+    val cs = centroids(p, n)
+    if (cs.isEmpty) // no seeds (no vec_id < NumCells) → a typed EMPTY
+      // assignment, matching the oracle's empty cells CTE — NOT all-cell-0
+      p.filter(lit(false)).select(col("vec_id"), lit(0L).as("cell"))
+    else p.select(col("vec_id"),
       cellExpr(col("v"), cs).cast("long").as("cell"))
   }
 
@@ -271,9 +280,10 @@ object Ann {
     * paths. Each vector lives in exactly one cell and probe cells are
     * distinct, so candidates need no dedup. */
   def ivfSearch(emb: DataFrame, k: Int = 5): DataFrame = {
-    val cs = centroids(emb)
+    val n = emb.count() // once per call — shared by trainModFor + queryModFor
     val p = prepared(emb)
-    if (cs.isEmpty) // empty corpus: no cells, no queries — typed empty result
+    val cs = centroids(p, n)
+    if (cs.isEmpty) // no seeds: no cells, no queries — typed empty result
       return p.filter(lit(false)).select(col("vec_id").as("query_id"),
         col("vec_id").as("neighbor_id"), lit(0).as("rank"))
     val indexed = p.withColumn("cell", cellExpr(col("v"), cs))
@@ -281,7 +291,7 @@ object Ann {
     val ranked = array_sort(array(cs.map { case (cid, cv, cn) =>
       struct((-(dot(col("v"), typedlit(cv)) / lit(cn))).as("ns"), lit(cid).as("c"))
     }: _*))
-    val q = p.filter(col("vec_id") % queryModFor(emb.count()) === 0)
+    val q = p.filter(col("vec_id") % queryModFor(n) === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("norm").as("qn"),
         explode(transform(slice(ranked, 1, NumProbe), s => s.getField("c")))

@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.functions.Fns
+import graft.model.Ns
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Education family node shapes (`Biography/education.py:75-335`): per
+  * EDUCATION block a typed context (mode-dispatched, `context_map` at
+  * :205-209), a School node (rdfs:label + EducationalOrganization + the
+  * `school_type_map` types at :43-67, attached through `attending_map`'s
+  * level predicate or CWRC.schoolAttended, :110-116), Degree credentials
+  * (:249), and EducationalAward nodes with the 11-keyword `award_keywords`
+  * / `award_map` class dispatch (:146-180, `get_award_type`: every keyword
+  * SUBSTRING-contained in the lowercased name contributes its class,
+  * deduplicated as a set; no hit → the CWRC.EducationalAward base class).
+  *
+  * Graft mapping: the "studied at Academy_k" clause (eid%8==0 turns) plays
+  * the EDUCATION block; its linked row (authority URI or skolemized BNode —
+  * the reference's `make_standard_uri(name+" ORG")` miss path) plays the
+  * School URI. Block attributes are pure arithmetic over m = eid/8 (the
+  * same convention as every other family's attr synthesis): mode = m%4,
+  * INSTITUTIONLEVEL = (m/4)%4, STUDENTBODY = (m/16)%3, AWARD present iff
+  * m%2==0 with name (m/2)%8, DEGREE present iff m%3==0 with value (m/3)%4.
+  * Ordinals replay `education_count` (reset per bio at :525-533 → a
+  * per-(conv, context-type) stream).
+  *
+  * Scale: one narrow projection over the linked education rows + one
+  * ordinal window per (conv, ctype) — no joins (the School link was
+  * already paid in the linking stage), no corpus-wide shuffles beyond the
+  * window's conv-co-partitioned exchange and the final distinct.
+  */
+object Education {
+
+  /** `Education.context_map` (education.py:205-209): mode → context type. */
+  val modes: Seq[String] =
+    Seq("InstitutionalEducationContext", "SelfTaughtEducationContext",
+      "DomesticEducationContext", "EducationContext")
+
+  /** INSTITUTIONLEVEL slots (school_type_map's level rows, :46-49) and
+    * `attending_map` (:69-73); slot 4 (None) → CWRC.schoolAttended. */
+  val levelTypes: Seq[String] =
+    Seq("PrimarySchool", "SecondarySchool", "PostSecondarySchool")
+  val levelPreds: Seq[String] =
+    Seq("primarySchool", "secondarySchool", "postSecondarySchool")
+
+  /** STUDENTBODY slots (:53-55); slot 3 (None) → no type triple. */
+  val bodyTypes: Seq[String] = Seq("SingleSexSchool", "CoEducationalSchool")
+
+  /** `award_keywords` + `award_map` VERBATIM (education.py:148-169). */
+  val awardKeywords: Seq[String] = Seq("scholarship", "prize", "medal",
+    "fellow", "fellowship", "essay", "bursary", "exhibition", "distinction",
+    "honours", "studentship")
+  val awardMap: Map[String, String] = Map(
+    "scholarship" -> "Scholarship", "prize" -> "EducationalPrize",
+    "medal" -> "EducationalPrize", "fellow" -> "Fellowship",
+    "fellowship" -> "Fellowship", "essay" -> "EssayAward",
+    "bursary" -> "Bursary", "exhibition" -> "Scholarship",
+    "distinction" -> "Distinction", "honours" -> "Distinction",
+    "studentship" -> "Studentship")
+
+  /** The synthetic AWARD names, chosen to exercise every dispatch path:
+    * multi-keyword names, keywords that collapse to one class under the
+    * set-dedup (fellow⊂fellowship; scholarship+exhibition), the
+    * no-keyword default, and a two-class name. */
+  val awardNames: Seq[String] = Seq(
+    "Gold Medal", "Junior Scholarship and Exhibition", "Essay Prize",
+    "Latin Verse Cup", "Research Fellowship", "First Class Honours",
+    "Travel Bursary", "Open Studentship with Distinction")
+
+  /** `get_award_type` (education.py:173-178) replayed in Scala over the
+    * FIXED name list — the dispatch is a pure function of the 8 names, so
+    * it folds to a driver-side table instead of 11 runtime Contains
+    * branches. Sorted for a deterministic array literal; emission is
+    * set-semantic so order is immaterial. */
+  val awardTypes: Seq[Seq[String]] = awardNames.map { name =>
+    val hits = awardKeywords.filter(name.toLowerCase.contains(_))
+      .map(awardMap).distinct
+    (if (hits.isEmpty) Seq("EducationalAward") else hits)
+      .sorted.map(Ns.kg + "type/" + _)
+  }
+
+  /** DEGREE values (get_degrees → EDU_MAP "Degree" terms, :341-342). */
+  val degrees: Seq[String] = Seq("BA", "MA", "PhD", "Diploma")
+
+  private def t(df: DataFrame, subj: Column, pred: Column, obj: Column,
+                isIri: Boolean, lang: String = "") =
+    df.select(subj.as("subj"), pred.as("pred"), obj.as("obj_value"),
+      lit(isIri).as("obj_is_iri"), lit(lang).as("obj_lang"),
+      lit("").as("obj_dtype"))
+
+  /** kg_education: the full education node-shape emission. Input: the
+    * linked mention frame (education rows carry the School URI). */
+  def educationTriples(linked: DataFrame): DataFrame = {
+    val m = (Fns.eidCol / 8).cast("long") // education rows have eid%8==0
+    val base = linked.filter(col("kind") === "education")
+      .withColumn("m", m)
+      .withColumn("ctype", element_at(
+        array(modes.map(lit): _*), (col("m") % 4).cast("int") + 1))
+      .withColumn("lvl", (floor(col("m") / 4) % 4).cast("int"))   // 3 = None
+      .withColumn("body", (floor(col("m") / 16) % 3).cast("int")) // 2 = None
+    val w = Window.partitionBy("conv_id", "ctype")
+      .orderBy("turn_idx", "midx")
+    val b = base.withColumn("n", row_number().over(w).cast("string"))
+      .withColumn("ctx", concat(lit(Ns.ctx), col("conv_id"), lit("_"),
+        col("ctype"), lit("_"), col("n")))
+    val school = col("obj_value")
+    val attendPred = element_at(
+      array((levelPreds :+ "schoolAttended").map(p => lit(Ns.pred + p)): _*),
+      col("lvl") + 1)
+    val core =
+      t(b, col("ctx"), lit(Ns.rdfType), lit(Ns.tContext), isIri = true)
+        .unionAll(t(b, col("ctx"), lit(Ns.rdfType),
+          concat(lit(Ns.kg + "type/"), col("ctype")), isIri = true))
+        .unionAll(t(b, school, lit(Ns.rdfsLabel), col("surface"), isIri = false))
+        .unionAll(t(b, school, lit(Ns.rdfType),
+          lit(Ns.kg + "type/EducationalOrganization"), isIri = true))
+        .unionAll(t(b, col("ctx"), attendPred, school, isIri = true))
+        .unionAll(t(b.filter(col("lvl") < 3), school, lit(Ns.rdfType),
+          element_at(array(levelTypes.map(x => lit(Ns.kg + "type/" + x)): _*),
+            col("lvl") + 1), isIri = true))
+        .unionAll(t(b.filter(col("body") < 2), school, lit(Ns.rdfType),
+          element_at(array(bodyTypes.map(x => lit(Ns.kg + "type/" + x)): _*),
+            col("body") + 1), isIri = true))
+    // awards: skolemized BNode per (conv, turn, midx); classes exploded
+    // from the precomputed dispatch table
+    val aw = b.filter(col("m") % 2 === 0)
+      .withColumn("aidx", (floor(col("m") / 2) % awardNames.length).cast("int"))
+      .withColumn("aname", element_at(array(awardNames.map(lit): _*), col("aidx") + 1))
+      .withColumn("auri", concat(lit(Ns.kg + "award/"), col("conv_id"),
+        lit("_"), col("turn_idx").cast("string"), lit("_"), col("midx").cast("string")))
+    val awardTriples =
+      t(aw, col("auri"), lit(Ns.rdfsLabel), col("aname"), isIri = false)
+        .unionAll(t(aw, col("ctx"), lit(Ns.pred + "award"), col("auri"), isIri = true))
+        .unionAll(t(
+          aw.select(col("auri"), explode(element_at(
+            typedlit(awardTypes), col("aidx") + 1)).as("aty")),
+          col("auri"), lit(Ns.rdfType), col("aty"), isIri = true))
+    // degrees: context credential (education.py:249)
+    val dg = b.filter(col("m") % 3 === 0)
+      .withColumn("deg", element_at(array(degrees.map(lit): _*),
+        (floor(col("m") / 3) % degrees.length).cast("int") + 1))
+    val degreeTriples = t(dg, col("ctx"), lit(Ns.pred + "credential"),
+      concat(lit(Ns.kg + "degree/"), col("deg")), isIri = true)
+    core.unionAll(awardTriples).unionAll(degreeTriples).distinct()
+  }
+}

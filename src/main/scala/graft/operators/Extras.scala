@@ -185,8 +185,8 @@ object Extras {
     * first/last/random-N, made reproducible): every 10th conversation by
     * conv number (content-derived, partition-order-free). */
   def sampleConvs(transcripts: DataFrame): DataFrame =
-    transcripts.filter(
-      substring(col("conv_id"), 6, 10).cast("int") % 10 === 0)
+    transcripts.filter( // uncapped digits, like the oracle's substr(conv_id, 6)
+      expr("substring(conv_id, 6)").cast("int") % 10 === 0)
 
   /** O3 — failure histogram as a deterministic top-k report
     * (`culturalForm.py:626` sorts fails desc): full tie-break

@@ -92,7 +92,7 @@ object Families {
       .select(col("uri").as("obj_value"), col("gender")))
     val predArr = array(familyMap.map(r => lit(r._2)): _*)
     val sexArr = array(familyMap.map(r => lit(r._3)): _*)
-    val eid = substring(col("conv_id"), 6, 6).cast("long") * 20 + col("turn_idx")
+    val eid = graft.functions.Fns.eidCol
     val relIdx = ((eid * 3 + col("midx")) % familyMap.length).cast("int")
     val convUri = concat(lit(Ns.conv), col("conv_id"))
     val b = linked.filter(col("kind") === "person")
@@ -126,7 +126,7 @@ object Families {
     "YOUNGEST" -> "youngestChild", "MIDDLE:" -> "middleChild")
 
   def birthPositionTriples(tr: DataFrame): DataFrame = {
-    val eid = substring(col("conv_id"), 6, 6).cast("long") * 20 + col("turn_idx")
+    val eid = graft.functions.Fns.eidCol
     val pos = element_at(
       array(Seq("ONLY", "ELDEST", "YOUNGEST", "MIDDLE").map(lit): _*),
       (floor(eid / 17).cast("long") % 4).cast("int") + 1)
@@ -158,7 +158,7 @@ object Families {
     Seq("marriage" -> 3L, "separation" -> 4L, "divorce" -> 6L)
 
   def maritalTriples(mentions: DataFrame): DataFrame = {
-    val eid = substring(col("conv_id"), 6, 6).cast("long") * 20 + col("turn_idx")
+    val eid = graft.functions.Fns.eidCol
     val members = mentions.filter(col("kind") === "person")
     val convUri = concat(lit(Ns.conv), col("conv_id"))
     maritalTags.map { case (status, m) =>

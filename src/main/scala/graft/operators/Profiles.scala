@@ -196,7 +196,7 @@ object Profiles {
     * id; the lowercase namespace is untouched). Six triples per item, all
     * unique by construction. Narrow projection + one ordinal window. */
   def otherContextTriples(tr: DataFrame): DataFrame = {
-    val eid = substring(col("conv_id"), 6, 6).cast("long") * 20 + col("turn_idx")
+    val eid = graft.functions.Fns.eidCol
     // Column `/` is double division — use floor for the eid // 23 the
     // oracle computes (exact: eid < 2^53 by the scale-knob bound)
     val famIdx = (floor(eid / 23).cast("long") % otherFamilies.length).cast("int") + 1

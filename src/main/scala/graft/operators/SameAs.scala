@@ -30,23 +30,38 @@ object SameAs {
   val DriverClosureCap = 100000L
 
   /** edges(a, b) → (node, canon): every node of the edge set mapped to the
-    * lexicographic min of its connected component. */
-  def closure(edges: DataFrame, maxIter: Int = 20): DataFrame =
-    if (edges.limit((DriverClosureCap + 1).toInt).count() <= DriverClosureCap)
-      closureOnDriver(edges)
+    * lexicographic min of its connected component.
+    *
+    * Dispatch costs ONE Spark job: a single limit(cap+1) collect both
+    * answers "is it small?" and, when yes, IS the edge set the union-find
+    * consumes (the former count-then-collect probe computed the edge
+    * extraction twice). Callers that already know the edge count (a
+    * materialized stage) pass `countHint` to skip even that collect on the
+    * large-scale path. */
+  def closure(edges: DataFrame, maxIter: Int = 20,
+              countHint: Option[Long] = None): DataFrame = {
+    if (countHint.exists(_ > DriverClosureCap))
+      return closureIterative(edges, maxIter)
+    val probe = edges.select(col("a"), col("b"))
+      .limit((DriverClosureCap + 1).toInt).collect()
+    if (probe.length <= DriverClosureCap)
+      closureOnDriver(edges.sparkSession,
+        probe.map(r => (r.getString(0), r.getString(1))))
     else closureIterative(edges, maxIter)
+  }
 
   /** The distributed min-label-propagation closure — the big-edge-set
     * path; kept equivalence-tested against the driver fast path
     * (Round4OpsSpec). */
   private[graft] def closureIterative(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val und = edges.select(col("a"), col("b"))
-      .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
-      .localCheckpoint()
-    var labels = und.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
+    val spark = edges.sparkSession
+    val (und, undIds) = graft.Caches.trackedCheckpoint(
+      edges.select(col("a"), col("b"))
+        .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+        .distinct())
+    var (labels, labelIds) = graft.Caches.trackedCheckpoint(
+      und.select(col("a").as("node")).distinct()
+        .withColumn("label", col("node")))
     var i = 0
     var changed = 1L
     while (changed > 0 && i < maxIter) {
@@ -57,11 +72,10 @@ object SameAs {
         .groupBy("node").agg(min("label").as("label"))
       // pointer-jump: label := label(label) — shortcuts chains, turning the
       // O(diameter) propagation into O(log diameter) iterations
-      val next = hop.as("x")
+      val (next, nextIds) = graft.Caches.trackedCheckpoint(hop.as("x")
         .join(hop.as("y"), col("x.label") === col("y.node"), "left")
         .select(col("x.node").as("node"),
-          coalesce(col("y.label"), col("x.label")).as("label"))
-        .localCheckpoint()
+          coalesce(col("y.label"), col("x.label")).as("label")))
       // convergence probe every 2nd iteration — with pointer jumping most
       // closures finish in 2-3 passes, so probing each pass would spend as
       // many driver jobs on probes as on work
@@ -71,20 +85,25 @@ object SameAs {
           .filter(col("n.label") =!= col("o.label"))
           .count()
       }
+      // the superseded pass's checkpoint blocks are dead the moment `next`
+      // is materialized and the probe has read them — free them NOW, not at
+      // GC time: a 10⁹-entity closure holds 2 label frames, never i of them
+      graft.Caches.unpersistIds(spark, labelIds)
       labels = next
+      labelIds = nextIds
       i += 1
     }
+    // und only feeds the loop; the final labels frame is all the caller needs
+    graft.Caches.unpersistIds(spark, undIds)
     labels.select(col("node"), col("label").as("canon"))
   }
 
-  /** Union-find (path-halving) closure over a driver-collected edge set;
+  /** Union-find (path-halving) closure over an already-collected edge set;
     * canon = lexicographic min of each component — bit-identical to the
     * iterative propagation's fixpoint. */
-  private def closureOnDriver(edges: DataFrame): DataFrame = {
-    val spark = edges.sparkSession
+  private def closureOnDriver(spark: org.apache.spark.sql.SparkSession,
+                              es: Array[(String, String)]): DataFrame = {
     import spark.implicits._
-    val es = edges.select(col("a"), col("b")).collect()
-      .map(r => (r.getString(0), r.getString(1)))
     val parent = scala.collection.mutable.HashMap.empty[String, String]
     def find(x0: String): String = {
       var x = x0

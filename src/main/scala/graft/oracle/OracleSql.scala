@@ -423,8 +423,156 @@ SELECT conv_id, turn_idx, lexical,
        WHEN length(lexical) = 10 THEN lexical || ' 23:59:59'
        ELSE lexical END AS interval_end
 FROM lex""")
-  ) ++ extraQueries ++ round4Queries ++ docQueries ++ annQueries ++
-    eventQueries ++ streamQueries
+  ) ++ extraQueries ++ round4Queries ++ round5Queries ++ docQueries ++
+    annQueries ++ eventQueries ++ streamQueries
+
+  // ----- round-5 families: education, friends/intimate, CF contexts -------
+
+  /** Shared eid expression (NO digit cap — mirrors Fns.eidCol). */
+  private def eidSql(p: String = ""): String =
+    s"(CAST(substr(${p}conv_id, 6) AS BIGINT) * 20 + ${p}turn_idx)"
+
+  private lazy val round5Queries: Map[String, String] = {
+    import graft.operators.{Education => E, Relations => R}
+    def strList(xs: Seq[String]): String =
+      xs.map(x => s"'$x'").mkString("[", ",", "]")
+    // kg_education building blocks (all derived from the SAME Scala
+    // constants the Spark side inlines — zero drift)
+    val awardNameValues = E.awardNames.zipWithIndex
+      .map { case (nm, i) => s"($i,'$nm')" }.mkString(",")
+    val awardTypeValues = E.awardTypes.zipWithIndex
+      .flatMap { case (tys, i) => tys.map(ty => s"($i,'$ty')") }.mkString(",")
+    val attendList = strList(
+      (E.levelPreds :+ "schoolAttended").map(Ns.pred + _))
+    val levelTypeList = strList(E.levelTypes.map(Ns.kg + "type/" + _))
+    val bodyTypeList = strList(E.bodyTypes.map(Ns.kg + "type/" + _))
+    val educationSql = BASE + s""", edu AS (
+  SELECT conv_id, turn_idx, midx, surface, obj_value,
+         ${eidSql()} // 8 AS m
+  FROM linked WHERE kind = 'education'),
+edub AS (
+  SELECT *, ${strList(E.modes)}[CAST(m % 4 AS INT) + 1] AS ctype,
+         CAST((m // 4) % 4 AS INT) AS lvl,
+         CAST((m // 16) % 3 AS INT) AS body
+  FROM edu),
+educ AS (
+  SELECT *, '${Ns.ctx}' || conv_id || '_' || ctype || '_' ||
+    CAST(row_number() OVER (PARTITION BY conv_id, ctype ORDER BY turn_idx, midx) AS VARCHAR) AS ctx
+  FROM edub),
+awn(i, nm) AS (VALUES $awardNameValues),
+awt(i, ty) AS (VALUES $awardTypeValues),
+eaw AS (
+  SELECT e.*, a.nm,
+    '${Ns.kg}award/' || conv_id || '_' || CAST(turn_idx AS VARCHAR) || '_' || CAST(midx AS VARCHAR) AS auri,
+    CAST((m // 2) % ${E.awardNames.length} AS INT) AS aidx
+  FROM educ e JOIN awn a ON a.i = CAST((e.m // 2) % ${E.awardNames.length} AS INT)
+  WHERE e.m % 2 = 0)
+SELECT DISTINCT * FROM (
+  SELECT ctx AS subj, '${Ns.rdfType}' AS pred, '${Ns.tContext}' AS obj_value,
+         TRUE AS obj_is_iri, '' AS obj_lang, '' AS obj_dtype FROM educ
+  UNION ALL SELECT ctx, '${Ns.rdfType}', '${Ns.kg}type/' || ctype, TRUE, '', '' FROM educ
+  UNION ALL SELECT obj_value, '${Ns.rdfsLabel}', surface, FALSE, '', '' FROM educ
+  UNION ALL SELECT obj_value, '${Ns.rdfType}', '${Ns.kg}type/EducationalOrganization', TRUE, '', '' FROM educ
+  UNION ALL SELECT ctx, $attendList[lvl + 1], obj_value, TRUE, '', '' FROM educ
+  UNION ALL SELECT obj_value, '${Ns.rdfType}', $levelTypeList[lvl + 1], TRUE, '', '' FROM educ WHERE lvl < 3
+  UNION ALL SELECT obj_value, '${Ns.rdfType}', $bodyTypeList[body + 1], TRUE, '', '' FROM educ WHERE body < 2
+  UNION ALL SELECT auri, '${Ns.rdfsLabel}', nm, FALSE, '', '' FROM eaw
+  UNION ALL SELECT ctx, '${Ns.pred}award', auri, TRUE, '', '' FROM eaw
+  UNION ALL SELECT a.auri, '${Ns.rdfType}', t.ty, TRUE, '', '' FROM eaw a JOIN awt t ON t.i = a.aidx
+  UNION ALL SELECT ctx, '${Ns.pred}credential',
+    '${Ns.kg}degree/' || ${strList(E.degrees)}[CAST((m // 3) % ${E.degrees.length} AS INT) + 1],
+    TRUE, '', '' FROM educ WHERE m % 3 = 0
+)"""
+
+    // shared relationship-family CTE scaffolding
+    def relLabelCase(prefix: String): String = {
+      val cases = (R.intimatePreds :+ "cohabitant" :+ "interpersonalRelationshipWith")
+        .distinct.map(p =>
+          s"WHEN '$p' THEN '$prefix${R.splitByCasing(p).toLowerCase}'")
+      s"CASE prd ${cases.mkString(" ")} END"
+    }
+    def relationshipSql(tagMod: Int, ctxType: String, eventType: String,
+        prdExpr: String, survFilter: String, labelCase: String): String =
+      s""", selfp AS (
+  SELECT conv_id, obj_value AS self_uri FROM linked
+  WHERE kind = 'person' AND turn_idx = 0 AND midx = 0),
+rmen AS (
+  SELECT conv_id, turn_idx, midx, obj_value, ${eidSql()} AS eid
+  FROM linked WHERE kind = 'person' AND ${eidSql()} % $tagMod = 0),
+rprd AS (SELECT *, $prdExpr AS prd FROM rmen),
+rsur AS (
+  SELECT f.* FROM rprd f LEFT JOIN selfp s ON s.conv_id = f.conv_id
+  WHERE s.self_uri IS NULL OR f.obj_value <> s.self_uri),
+rcnt AS (SELECT *, count(*) OVER (PARTITION BY conv_id, turn_idx) AS cnt FROM rsur),
+rrel AS (SELECT * FROM rcnt $survFilter),
+rtag AS (
+  SELECT conv_id, turn_idx,
+    '${Ns.ctx}' || conv_id || '_${ctxType}_' ||
+    CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS VARCHAR) AS ctx
+  FROM rmen WHERE midx = 0),
+rag AS (SELECT conv_id, turn_idx, prd, min(midx) AS m0 FROM rrel GROUP BY 1, 2, 3),
+ran AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY m0) AS ec FROM rag),
+ract AS (
+  SELECT a.conv_id, a.prd, t.ctx,
+         replace(t.ctx, 'Context', 'Event') || '_' || CAST(a.ec AS VARCHAR) AS act
+  FROM ran a JOIN rtag t ON t.conv_id = a.conv_id AND t.turn_idx = a.turn_idx)
+SELECT DISTINCT * FROM (
+  SELECT ctx AS subj, '${Ns.rdfType}' AS pred, '${Ns.tContext}' AS obj_value,
+         TRUE AS obj_is_iri, '' AS obj_lang, '' AS obj_dtype FROM rtag
+  UNION ALL SELECT ctx, '${Ns.rdfType}', '${Ns.kg}type/$ctxType', TRUE, '', '' FROM rtag
+  UNION ALL SELECT '${Ns.conv}' || conv_id, '${Ns.pred}' || prd, obj_value, TRUE, '', '' FROM rrel
+  UNION ALL SELECT ctx, '${Ns.pred}linksActivity', act, TRUE, '', '' FROM ract
+  UNION ALL SELECT act, '${Ns.rdfType}', '${Ns.tActivity}', TRUE, '', '' FROM ract
+  UNION ALL SELECT act, '${Ns.rdfType}', '$eventType', TRUE, '', '' FROM ract
+  UNION ALL SELECT act, '${Ns.rdfsLabel}', $labelCase, FALSE, 'en', '' FROM ract
+)"""
+
+    val friendsSql = BASE + relationshipSql(
+      tagMod = 15, ctxType = "FriendsAndAssociatesContext",
+      eventType = Ns.kg + "event/FriendsAndAssociatesEvent",
+      prdExpr = "CASE WHEN (eid // 15 + midx) % 3 = 0 THEN 'cohabitant' " +
+        "ELSE 'interpersonalRelationshipWith' END",
+      survFilter = "", // every surviving friend emits
+      labelCase = relLabelCase("Friend Relationship Event: "))
+
+    val intimateSql = BASE + relationshipSql(
+      tagMod = 19, ctxType = "IntimateRelationshipContext",
+      eventType = Ns.kg + "event/IntimateRelationshipEvent",
+      prdExpr = "CASE WHEN CAST((eid // 19) % 4 AS INT) = 3 THEN 'intimateRelationship' " +
+        "WHEN (eid // 19 + midx) % 3 = 0 THEN 'cohabitant' " +
+        s"ELSE ${strList(R.intimatePreds.take(3))}[CAST((eid // 19) % 4 AS INT) + 1] END",
+      survFilter = "WHERE cnt = 1", // the exactly-one-name precision rule
+      labelCase = relLabelCase("Intimate Relationship Event: "))
+
+    val cfSql = BASE + s""", cfb AS (
+  SELECT conv_id, turn_idx, ${eidSql()} AS eid FROM tr
+  WHERE ${eidSql()} % 25 = 0),
+cft AS (
+  SELECT *, ${strList(R.cfTypes)}[CAST((eid // 25) % ${R.cfTypes.length} AS INT) + 1] AS ctype,
+         ${strList(R.cfPreds)}[CAST((eid // 25) % ${R.cfTypes.length} AS INT) + 1] AS fpred,
+         ${strList(R.cfLabels)}[CAST((eid // 25) % ${R.cfTypes.length} AS INT) + 1] AS lab,
+         CAST((eid // 175) % 10 AS VARCHAR) AS k
+  FROM cfb),
+cfn AS (
+  SELECT *, '${Ns.ctx}' || conv_id || '_' || ctype || '_' ||
+    CAST(row_number() OVER (PARTITION BY conv_id, ctype ORDER BY turn_idx) AS VARCHAR) AS ctx
+  FROM cft),
+cfu AS (
+  SELECT *, replace(ctx, 'Context', 'Event') || '_0' AS act,
+         '${Ns.kg}cf/' || fpred || '/' || k AS term
+  FROM cfn)
+SELECT ctx AS subj, '${Ns.rdfType}' AS pred, '${Ns.tContext}' AS obj_value,
+       TRUE AS obj_is_iri, '' AS obj_lang, '' AS obj_dtype FROM cfu
+UNION ALL SELECT ctx, '${Ns.rdfType}', '${Ns.kg}type/' || ctype, TRUE, '', '' FROM cfu
+UNION ALL SELECT '${Ns.conv}' || conv_id, '${Ns.pred}' || fpred, term, TRUE, '', '' FROM cfu
+UNION ALL SELECT ctx, '${Ns.pred}linksActivity', act, TRUE, '', '' FROM cfu
+UNION ALL SELECT act, '${Ns.rdfType}', '${Ns.tActivity}', TRUE, '', '' FROM cfu
+UNION ALL SELECT act, '${Ns.rdfType}', '${Ns.kg}type/' || ctype, TRUE, '', '' FROM cfu
+UNION ALL SELECT act, '${Ns.rdfsLabel}', lab, FALSE, 'en', '' FROM cfu"""
+
+    Map("kg_education" -> educationSql, "kg_friends" -> friendsSql,
+      "kg_intimate" -> intimateSql, "kg_cf_contexts" -> cfSql)
+  }
 
   // ----- round-4 families: gender, family predicates, COD, title refs -----
 
@@ -553,7 +701,8 @@ WHERE b.dbref IS NULL OR b.dbref >= 3"""))
     "kg_works_agents", "kg_names", "kg_titles", "kg_writing",
     "kg_lifeinfo", "kg_citations", "kg_other_contexts",
     "kg_gender", "kg_family", "kg_death_causes", "kg_birth_position",
-    "kg_marital")
+    "kg_marital", "kg_education", "kg_friends", "kg_intimate",
+    "kg_cf_contexts")
 
   private lazy val uberSql: String =
     "SELECT subj, pred, obj_value, obj_is_iri, obj_lang, obj_dtype FROM (" +
