@@ -84,6 +84,11 @@ object Education {
   /** DEGREE values (get_degrees → EDU_MAP "Degree" terms, :341-342). */
   val degrees: Seq[String] = Seq("BA", "MA", "PhD", "Diploma")
 
+  /** SUBJECT values (get_study_subjects → EDU_MAP "Subject" terms,
+    * :337-338). Present iff m%5==0, value (m/5)%6. */
+  val subjects: Seq[String] =
+    Seq("Latin", "Mathematics", "Botany", "Rhetoric", "Music", "Greek")
+
   private def t(df: DataFrame, subj: Column, pred: Column, obj: Column,
                 isIri: Boolean, lang: String = "") =
     df.select(subj.as("subj"), pred.as("pred"), obj.as("obj_value"),
@@ -143,6 +148,29 @@ object Education {
         (floor(col("m") / 3) % degrees.length).cast("int") + 1))
     val degreeTriples = t(dg, col("ctx"), lit(Ns.pred + "credential"),
       concat(lit(Ns.kg + "degree/"), col("deg")), isIri = true)
-    core.unionAll(awardTriples).unionAll(degreeTriples).distinct()
+    // studied subjects (education.py:241-246): subjectOfStudy on the
+    // context, PLUS teachesEducationalSubject on the school — the latter
+    // ONLY "if len(self.schools) == 1", which in the graft's one-school-
+    // per-block shape always holds (cited quirk; a multi-school block
+    // would suppress it). INSTRUCTOR/COMPANION people-collection paths
+    // are not replayed (they would re-exercise the person machinery the
+    // relationship families already verify).
+    val sb = b.filter(col("m") % 5 === 0)
+      .withColumn("subj_term", concat(lit(Ns.kg + "subject/"),
+        element_at(array(subjects.map(lit): _*),
+          (floor(col("m") / 5) % subjects.length).cast("int") + 1)))
+    val subjectTriples =
+      t(sb, col("ctx"), lit(Ns.pred + "subjectOfStudy"), col("subj_term"), isIri = true)
+        .unionAll(t(sb, school, lit(Ns.pred + "teachesEducationalSubject"),
+          col("subj_term"), isIri = true))
+    // contested behaviour (education.py:236-238 + get_contested_behaviour
+    // :351-352): limit_words(value, 20) literals on the context; the turn
+    // text plays the tag value. Present iff m%7==0.
+    val cb = b.filter(col("m") % 7 === 0)
+    val contestedTriples = t(cb, col("ctx"),
+      lit(Ns.pred + "contestedBehaviour"),
+      graft.functions.Fns.limitWords(col("text"), 20), isIri = false)
+    core.unionAll(awardTriples).unionAll(degreeTriples)
+      .unionAll(subjectTriples).unionAll(contestedTriples).distinct()
   }
 }

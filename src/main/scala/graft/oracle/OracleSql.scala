@@ -446,8 +446,12 @@ FROM lex""")
       (E.levelPreds :+ "schoolAttended").map(Ns.pred + _))
     val levelTypeList = strList(E.levelTypes.map(Ns.kg + "type/" + _))
     val bodyTypeList = strList(E.bodyTypes.map(Ns.kg + "type/" + _))
+    def limitWordsN(e: String, n: Int): String = {
+      val w = s"string_split(regexp_replace(trim($e), '\\\\s+', ' ', 'g'), ' ')"
+      s"(CASE WHEN len($w) > $n THEN array_to_string(list_slice($w, 1, $n), ' ') || '...' ELSE array_to_string($w, ' ') END)"
+    }
     val educationSql = BASE + s""", edu AS (
-  SELECT conv_id, turn_idx, midx, surface, obj_value,
+  SELECT conv_id, turn_idx, midx, surface, obj_value, text,
          ${eidSql()} // 8 AS m
   FROM linked WHERE kind = 'education'),
 edub AS (
@@ -482,6 +486,14 @@ SELECT DISTINCT * FROM (
   UNION ALL SELECT ctx, '${Ns.pred}credential',
     '${Ns.kg}degree/' || ${strList(E.degrees)}[CAST((m // 3) % ${E.degrees.length} AS INT) + 1],
     TRUE, '', '' FROM educ WHERE m % 3 = 0
+  UNION ALL SELECT ctx, '${Ns.pred}subjectOfStudy',
+    '${Ns.kg}subject/' || ${strList(E.subjects)}[CAST((m // 5) % ${E.subjects.length} AS INT) + 1],
+    TRUE, '', '' FROM educ WHERE m % 5 = 0
+  UNION ALL SELECT obj_value, '${Ns.pred}teachesEducationalSubject',
+    '${Ns.kg}subject/' || ${strList(E.subjects)}[CAST((m // 5) % ${E.subjects.length} AS INT) + 1],
+    TRUE, '', '' FROM educ WHERE m % 5 = 0
+  UNION ALL SELECT ctx, '${Ns.pred}contestedBehaviour',
+    ${limitWordsN("text", 20)}, FALSE, '', '' FROM educ WHERE m % 7 = 0
 )"""
 
     // shared relationship-family CTE scaffolding

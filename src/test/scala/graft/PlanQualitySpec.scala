@@ -95,6 +95,34 @@ class PlanQualitySpec extends SparkSpec {
     assert(!cod.contains("Join"), "CAUSE_MAP linking must be join-free")
   }
 
+  test("round-5 families: equi-joins only; education/CF are join-free") {
+    spark.catalog.clearCache()
+    // friends/intimate: the self-filter is ONE equi-join on conv_id (plus
+    // the tag/activity assembly joins, also conv-keyed) — never a
+    // nested-loop or cartesian pair space
+    for ((name, df) <- Seq(
+      "kg_friends" -> operators.Relations.friendTriples(Pipeline.linked(spark, sfDir)),
+      "kg_intimate" -> operators.Relations.intimateTriples(Pipeline.linked(spark, sfDir)))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"), name)
+    }
+    // education + CF contexts: narrow projections + one window — no joins
+    // at all (the School link was paid in the linking stage; attrs inlined)
+    // education: narrow projection + one window over linked — the ONLY
+    // join class anywhere in its plan is linking's own dictionary
+    // broadcast (inlined once per union branch); it must add no shuffle
+    // join of its own
+    val edu = operators.Education.educationTriples(Pipeline.linked(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert(!edu.contains("SortMergeJoin") && !edu.contains("CartesianProduct")
+      && !edu.contains("BroadcastNestedLoopJoin"),
+      "education must not add joins beyond the linking broadcast")
+    val cf = operators.Relations.cfContextTriples(Pipeline.transcripts(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert(!cf.contains("Join"), "CF contexts must be join-free")
+  }
+
   test("whole-stage codegen covers the extraction path (no UDF breaks)") {
     val plan = Pipeline.mentions(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("*(1)"), "extraction should sit in codegen stage 1")

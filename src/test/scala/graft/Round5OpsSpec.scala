@@ -14,9 +14,10 @@ class Round5OpsSpec extends SparkSpec {
   private val ts = Timestamp.valueOf("2024-01-01 10:00:00")
 
   private def linkedDf(rows: (String, Int, String, Int, String, Boolean, String)*) =
-    rows.map { case (c, t, k, m, s, ok, uri) => (c, t, k, m, s, ok, uri, true, "", "") }
+    rows.map { case (c, t, k, m, s, ok, uri) =>
+      (c, t, k, m, s, ok, uri, true, "", "", "fixture text for block " + c) }
       .toDF("conv_id", "turn_idx", "kind", "midx", "surface", "matched",
-        "obj_value", "obj_is_iri", "obj_lang", "obj_dtype")
+        "obj_value", "obj_is_iri", "obj_lang", "obj_dtype", "text")
 
   test("award dispatch replays get_award_type: substring hits, set dedup, default") {
     def typesOf(name: String): Seq[String] =
@@ -38,9 +39,11 @@ class Round5OpsSpec extends SparkSpec {
     // no award (m odd), degree MA ((3/3)%4=1)
     // eid=48 → m=6: DomesticEducationContext, lvl SECONDARY, award
     // 'Latin Verse Cup' ((6/2)%8=3 → default class), degree PhD
+    // eid=280 → m=35: subject (m%5) Mathematics, contested behaviour (m%7)
     val linked = linkedDf(
       ("conv_000001", 4, "education", 0, "Academy_9", false, Ns.kg + "edu/skolem/Academy9"),
-      ("conv_000002", 8, "education", 0, "Academy_18", true, Ns.kg + "edu/auth/18"))
+      ("conv_000002", 8, "education", 0, "Academy_18", true, Ns.kg + "edu/auth/18"),
+      ("conv_000014", 0, "education", 0, "Academy_5", false, Ns.kg + "edu/skolem/Academy5"))
     val got = Education.educationTriples(linked).as[model.Triple].collect().toSet
     val ctx1 = Ns.ctx + "conv_000001_EducationContext_1"
     val school1 = Ns.kg + "edu/skolem/Academy9"
@@ -56,6 +59,16 @@ class Round5OpsSpec extends SparkSpec {
     assert(got.contains(model.Triple(award2, Ns.rdfsLabel, "Latin Verse Cup", false, "", "")))
     assert(got.contains(model.Triple(award2, Ns.rdfType, Ns.kg + "type/EducationalAward", true, "", "")))
     assert(got.contains(model.Triple(ctx2, Ns.pred + "credential", Ns.kg + "degree/PhD", true, "", "")))
+    // m=35: subjectOfStudy on the context AND teachesEducationalSubject on
+    // the school (the len(schools)==1 quirk always holds per-block here);
+    // contested behaviour = limit_words(text, 20) literal
+    val ctx3 = Ns.ctx + "conv_000014_EducationContext_1"
+    val subj = Ns.kg + "subject/Mathematics"
+    assert(got.contains(model.Triple(ctx3, Ns.pred + "subjectOfStudy", subj, true, "", "")))
+    assert(got.contains(model.Triple(Ns.kg + "edu/skolem/Academy5",
+      Ns.pred + "teachesEducationalSubject", subj, true, "", "")))
+    assert(got.contains(model.Triple(ctx3, Ns.pred + "contestedBehaviour",
+      "fixture text for block conv_000014", false, "", "")))
   }
 
   test("split_by_casing replica matches the reference regex") {
