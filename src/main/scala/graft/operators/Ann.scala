@@ -28,7 +28,12 @@ object Ann {
     * partitioning and pays no Exchange. */
   def prepared(emb: DataFrame): DataFrame = {
     val parts = emb.sparkSession.sparkContext.defaultParallelism
-    val spread = if (emb.rdd.getNumPartitions < parts)
+    // under-split probe via the leaf relations' file index (cheap metadata
+    // call) — NOT df.rdd.getNumPartitions, which forces physical planning +
+    // RDD DAG construction for every ANN query build. A pre-partitioned
+    // production table has ≥ cores files and pays no Exchange; the
+    // single-file sandbox fixture gets spread across all cores.
+    val spread = if (emb.inputFiles.length < parts)
       emb.repartition(parts) else emb
     spread
       .select(col("vec_id"),

@@ -46,11 +46,19 @@ object Metrics {
     * whose `known=false` rows are the violations (expected: none). */
   def termValidation(triples: DataFrame): DataFrame = {
     import graft.model.Ns
-    val preds = triples.select(lit("predicate").as("role"),
-      col("pred").as("term"))
-    val types = triples.filter(col("pred") === Ns.rdfType)
-      .select(lit("type").as("role"), col("obj_value").as("term"))
-    preds.unionAll(types).distinct()
+    // single pass: each row contributes its predicate role and — for
+    // rdf:type rows — its type role, exploded from one per-row array. The
+    // union-of-two-selects shape this replaces was a self-union over the
+    // (possibly cached) triple frame, which rebuilds one branch's whole
+    // upstream pipeline when cache substitution fails (the round-4
+    // self-union-over-cache trap, BENCH/BASELINE.md); set-identical under
+    // the trailing distinct.
+    val predRT = struct(lit("predicate").as("role"), col("pred").as("term"))
+    val typeRT = struct(lit("type").as("role"), col("obj_value").as("term"))
+    triples.select(explode(when(col("pred") === Ns.rdfType,
+        array(predRT, typeRT)).otherwise(array(predRT))).as("rt"))
+      .select(col("rt.role").as("role"), col("rt.term").as("term"))
+      .distinct()
       .withColumn("known", col("term").isin(Vocabulary.terms: _*))
   }
 
@@ -67,9 +75,14 @@ object Metrics {
     val namespaces = Seq(Ns.kg + "type/", Ns.occ)
     def inNs(c: org.apache.spark.sql.Column) =
       namespaces.map(ns => c.startsWith(ns)).reduce(_ || _)
-    val uris = triples.select(col("subj").as("uri")).filter(inNs(col("uri")))
-      .unionAll(triples.filter(col("obj_is_iri") && inNs(col("obj_value")))
-        .select(col("obj_value").as("uri")))
+    // single pass over both URI positions (explode of the per-row hits)
+    // instead of a subj-select ∪ obj-select self-union — same round-4
+    // cache-trap avoidance as termValidation above; set-identical under
+    // the distinct.
+    val uris = triples.select(explode(filter(array(
+        when(inNs(col("subj")), col("subj")),
+        when(col("obj_is_iri") && inNs(col("obj_value")), col("obj_value"))),
+        x => x.isNotNull)).as("uri"))
       .distinct()
     val spark = triples.sparkSession
     import spark.implicits._
