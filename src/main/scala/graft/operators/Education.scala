@@ -170,7 +170,47 @@ object Education {
     val contestedTriples = t(cb, col("ctx"),
       lit(Ns.pred + "contestedBehaviour"),
       graft.functions.Fns.limitWords(col("text"), 20), isIri = false)
+    // instructors (get_instructors :133-139; to_triple :121-122 school
+    // hasEmployee + :231-232 context instructor): one INSTRUCTOR person
+    // per block (m%6==0), its URI minted by the same arithmetic the person
+    // authority uses (Ns.person + custkey) — join-free like every other
+    // block attribute. The len(instructors)==1 subject attach
+    // (education.py:246-247: instructor teachesEducationalSubject) holds
+    // by construction in the one-instructor-per-block shape and fires
+    // when the block also studies a subject (m%30==0).
+    val instructorUri =
+      concat(lit(Ns.person), ((col("m") * 7) % 200).cast("string"))
+    val ins = b.filter(col("m") % 6 === 0).withColumn("person", instructorUri)
+    val subjTermOf = (mc: Column) => concat(lit(Ns.kg + "subject/"),
+      element_at(array(subjects.map(lit): _*),
+        (floor(mc / 5) % subjects.length).cast("int") + 1))
+    val instructorTriples =
+      t(ins, col("ctx"), lit(Ns.pred + "instructor"), col("person"), isIri = true)
+        .unionAll(t(ins, school, lit(Ns.pred + "hasEmployee"), col("person"), isIri = true))
+        .unionAll(t(ins.filter(col("m") % 5 === 0),
+          col("person"), lit(Ns.pred + "teachesEducationalSubject"),
+          subjTermOf(col("m")), isIri = true))
+    // companions (add_companion :313-314; to_triple :234-235): a COMPANION
+    // person on the context, m%9==0, distinct arithmetic key from the
+    // instructor's so the two can land on different persons.
+    val comp = b.filter(col("m") % 9 === 0)
+    val companionTriples = t(comp, col("ctx"), lit(Ns.pred + "companion"),
+      concat(lit(Ns.person), ((col("m") * 11) % 200).cast("string")), isIri = true)
+    // school locations (get_locations :140 → to_triple :124-125): a place
+    // on the SCHOOL node, m%10==0, from the place-authority URI space.
+    val locRows = b.filter(col("m") % 10 === 0)
+    val locationTriples = t(locRows, school, lit(Ns.pred + "hasLocation"),
+      concat(lit(Ns.place), ((col("m") * 3) % 25).cast("string")), isIri = true)
+    // degree subjects (get_degree_subjects → to_triple :252-253): a
+    // credentialSubject term on the context, m%15==0.
+    val ds = b.filter(col("m") % 15 === 0)
+    val degreeSubjectTriples = t(ds, col("ctx"),
+      lit(Ns.pred + "credentialSubject"),
+      concat(lit(Ns.kg + "subject/"), element_at(array(subjects.map(lit): _*),
+        (floor(col("m") / 15) % subjects.length).cast("int") + 1)), isIri = true)
     core.unionAll(awardTriples).unionAll(degreeTriples)
-      .unionAll(subjectTriples).unionAll(contestedTriples).distinct()
+      .unionAll(subjectTriples).unionAll(contestedTriples)
+      .unionAll(instructorTriples).unionAll(companionTriples)
+      .unionAll(locationTriples).unionAll(degreeSubjectTriples).distinct()
   }
 }

@@ -494,6 +494,21 @@ SELECT DISTINCT * FROM (
     TRUE, '', '' FROM educ WHERE m % 5 = 0
   UNION ALL SELECT ctx, '${Ns.pred}contestedBehaviour',
     ${limitWordsN("text", 20)}, FALSE, '', '' FROM educ WHERE m % 7 = 0
+  UNION ALL SELECT ctx, '${Ns.pred}instructor',
+    '${Ns.person}' || CAST((m * 7) % 200 AS VARCHAR), TRUE, '', '' FROM educ WHERE m % 6 = 0
+  UNION ALL SELECT obj_value, '${Ns.pred}hasEmployee',
+    '${Ns.person}' || CAST((m * 7) % 200 AS VARCHAR), TRUE, '', '' FROM educ WHERE m % 6 = 0
+  UNION ALL SELECT '${Ns.person}' || CAST((m * 7) % 200 AS VARCHAR),
+    '${Ns.pred}teachesEducationalSubject',
+    '${Ns.kg}subject/' || ${strList(E.subjects)}[CAST((m // 5) % ${E.subjects.length} AS INT) + 1],
+    TRUE, '', '' FROM educ WHERE m % 30 = 0
+  UNION ALL SELECT ctx, '${Ns.pred}companion',
+    '${Ns.person}' || CAST((m * 11) % 200 AS VARCHAR), TRUE, '', '' FROM educ WHERE m % 9 = 0
+  UNION ALL SELECT obj_value, '${Ns.pred}hasLocation',
+    '${Ns.place}' || CAST((m * 3) % 25 AS VARCHAR), TRUE, '', '' FROM educ WHERE m % 10 = 0
+  UNION ALL SELECT ctx, '${Ns.pred}credentialSubject',
+    '${Ns.kg}subject/' || ${strList(E.subjects)}[CAST((m // 15) % ${E.subjects.length} AS INT) + 1],
+    TRUE, '', '' FROM educ WHERE m % 15 = 0
 )"""
 
     // shared relationship-family CTE scaffolding

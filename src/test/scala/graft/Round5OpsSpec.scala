@@ -69,6 +69,39 @@ class Round5OpsSpec extends SparkSpec {
       Ns.pred + "teachesEducationalSubject", subj, true, "", "")))
     assert(got.contains(model.Triple(ctx3, Ns.pred + "contestedBehaviour",
       "fixture text for block conv_000014", false, "", "")))
+    // m=6 (conv_000002): instructor (m%6==0) person (6*7)%200=42 on the
+    // context AND school hasEmployee; NO instructor-teaches (6%5!=0),
+    // no companion/location/credentialSubject (6 % 9/10/15 != 0)
+    val p42 = Ns.person + "42"
+    assert(got.contains(model.Triple(ctx2, Ns.pred + "instructor", p42, true, "", "")))
+    assert(got.contains(model.Triple(Ns.kg + "edu/auth/18",
+      Ns.pred + "hasEmployee", p42, true, "", "")))
+    assert(!got.exists(_.pred == Ns.pred + "companion"))
+    assert(!got.exists(t => t.subj == p42 &&
+      t.pred == Ns.pred + "teachesEducationalSubject"))
+  }
+
+  test("education: companion, school location, degree subject, " +
+      "instructor-teaches at m=90") {
+    // eid=720 (conv_000036 turn 0) → m=90: every new branch fires —
+    // instructor (90*7)%200=30 teaching Latin ((90/5)%6=0, m%30==0),
+    // companion (90*11)%200=190, school location place (90*3)%25=20,
+    // credentialSubject Latin ((90/15)%6=0)
+    val linked = linkedDf(
+      ("conv_000036", 0, "education", 0, "Academy_1", true, Ns.kg + "edu/auth/1"))
+    val got = Education.educationTriples(linked).as[model.Triple].collect().toSet
+    val ctx = Ns.ctx + "conv_000036_DomesticEducationContext_1"
+    val school = Ns.kg + "edu/auth/1"
+    val latin = Ns.kg + "subject/Latin"
+    assert(got.contains(model.Triple(ctx, Ns.pred + "instructor", Ns.person + "30", true, "", "")))
+    assert(got.contains(model.Triple(school, Ns.pred + "hasEmployee", Ns.person + "30", true, "", "")))
+    assert(got.contains(model.Triple(Ns.person + "30",
+      Ns.pred + "teachesEducationalSubject", latin, true, "", "")))
+    assert(got.contains(model.Triple(ctx, Ns.pred + "companion", Ns.person + "190", true, "", "")))
+    assert(got.contains(model.Triple(school, Ns.pred + "hasLocation", Ns.place + "20", true, "", "")))
+    assert(got.contains(model.Triple(ctx, Ns.pred + "credentialSubject", latin, true, "", "")))
+    // the school still teaches the studied subject (len(schools)==1 rule)
+    assert(got.contains(model.Triple(school, Ns.pred + "teachesEducationalSubject", latin, true, "", "")))
   }
 
   test("split_by_casing replica matches the reference regex") {
