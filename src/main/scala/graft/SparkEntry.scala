@@ -104,6 +104,10 @@ object SparkEntry {
     // event-time timeouts — emits every session the watermark has closed
     "stream_sessions" -> ((s, d) => streaming.StreamOps.runToBatch(
       s, streaming.StreamOps.sessionStream(s, d), "stream_sessions_tbl", "append")),
+    // streaming exact dedup: the streaming-agg state store plays the
+    // content-hash dedup index; Complete mode emits the keeper table
+    "stream_dedup" -> ((s, d) => streaming.StreamOps.runToBatch(
+      s, streaming.StreamOps.dedupStream(s, d), "stream_dedup_tbl", "complete")),
     // §2.3 J3 retry-chain linking (primary → secondary dict → literal)
     "kg_retry_chain" -> ((s, d) =>
       operators.Extras.retryChainLink(s, Pipeline.mentions(s, d))),

@@ -1529,6 +1529,10 @@ FROM events GROUP BY 1, 2""")
   private val streamQueries: Map[String, String] = Map(
     "stream_mentions" ->
       (BASE + "SELECT conv_id, turn_idx, kind, midx, surface FROM men"),
+    // the batch exact-dedup group table over the same augmented corpus
+    "stream_dedup" -> (CORPUS + """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+       count(*) AS group_n FROM corpus GROUP BY 1"""),
     "stream_hourly" -> """
 SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents

@@ -52,6 +52,43 @@ object StreamOps {
     Mentions.extract(SynthTranscripts.project(eventStream(spark, dir)))
       .select("conv_id", "turn_idx", "kind", "midx", "surface")
 
+  /** documents parquet as a file-source stream (same scratch-symlink shape
+    * as eventStream). */
+  def documentStream(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val scratch = Files.createTempDirectory("graft-stream")
+    Files.createSymbolicLink(
+      scratch.resolve("documents.parquet"), Paths.get(s"$dir/documents.parquet"))
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(scratch.toString)
+  }
+
+  /** Streaming exact-dedup keeper table — ingestion-time dedup for a
+    * training-data pipeline: the streaming-agg state store IS the
+    * content-hash dedup index (one state row per distinct md5(text),
+    * carrying the keeper id and group size across micro-batches; state is
+    * O(distinct contents), the same bound any dedup index carries).
+    * Complete mode emits the keeper table; a doc is a duplicate iff its id
+    * differs from its hash's keep_id — exactly `operators.Dedup.exact`'s
+    * decision, checked against the same corpus arithmetic by the
+    * stream_dedup oracle. The corpus augmentation (Dedup.corpus's 3-way
+    * self-union) is replayed per-row as one explode so the stream is
+    * scanned once instead of three times. */
+  def dedupStream(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documentStream(spark, dir).select(
+      col("doc_id").cast("long").as("doc_id"), col("text"))
+    val v1 = struct(col("doc_id").as("doc_id"), col("text").as("text"))
+    val v2 = struct((col("doc_id") + 100000L).as("doc_id"),
+      array_join(slice(split(col("text"), " "), 4, 1000000), " ").as("text"))
+    val v3 = when(col("doc_id") < 50,
+      struct((col("doc_id") + 200000L).as("doc_id"), col("text").as("text")))
+    docs.select(explode(array_compact(array(v1, v2, v3))).as("r"))
+      .groupBy(md5(col("r.text")).as("text_hash"))
+      .agg(min("r.doc_id").as("keep_id"), count(lit(1)).as("group_n"))
+  }
+
   /** Streaming tumbling-window aggregation (1h windows on ts, per type),
     * the streaming twin of operators.Sessions.hourlyAgg. */
   def hourlyStream(spark: SparkSession, dir: String): DataFrame =
