@@ -108,6 +108,9 @@ object SparkEntry {
     // content-hash dedup index; Complete mode emits the keeper table
     "stream_dedup" -> ((s, d) => streaming.StreamOps.runToBatch(
       s, streaming.StreamOps.dedupStream(s, d), "stream_dedup_tbl", "complete")),
+    // streaming extraction + broadcast linking (stream-static join)
+    "stream_linked" -> ((s, d) => streaming.StreamOps.runToBatch(
+      s, streaming.StreamOps.linkedStream(s, d), "stream_linked_tbl", "append")),
     // §2.3 J3 retry-chain linking (primary → secondary dict → literal)
     "kg_retry_chain" -> ((s, d) =>
       operators.Extras.retryChainLink(s, Pipeline.mentions(s, d))),

@@ -1533,6 +1533,10 @@ FROM events GROUP BY 1, 2""")
     "stream_dedup" -> (CORPUS + """
 SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
        count(*) AS group_n FROM corpus GROUP BY 1"""),
+    // streaming broadcast-link ≡ the batch linked frame
+    "stream_linked" ->
+      (BASE + """SELECT conv_id, turn_idx, kind, midx, surface, matched,
+                 obj_value, obj_is_iri, obj_lang, obj_dtype FROM linked"""),
     "stream_hourly" -> """
 SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents

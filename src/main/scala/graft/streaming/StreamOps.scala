@@ -52,6 +52,19 @@ object StreamOps {
     Mentions.extract(SynthTranscripts.project(eventStream(spark, dir)))
       .select("conv_id", "turn_idx", "kind", "midx", "surface")
 
+  /** Streaming extraction + LINKING (stream-static join): the batch
+    * broadcast-link stage composes directly onto the mention stream —
+    * per-row key normalization, ONE broadcast hash join against the static
+    * unified dictionary, the mint/fallback projection — all stateless, so
+    * the query runs in Append mode with no watermark. This is the
+    * ingest-as-it-lands deployment through the link stage; triple emission
+    * with ordinals stays batch (ordinal windows are not time-based and
+    * cannot stream — SURVEY §2.9). Same oracle as kg_linked. */
+  def linkedStream(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Link.linkAll(spark, dir,
+      Mentions.extract(SynthTranscripts.project(eventStream(spark, dir))))
+      .drop("text", "ts")
+
   /** documents parquet as a file-source stream (same scratch-symlink shape
     * as eventStream). */
   def documentStream(spark: SparkSession, dir: String): DataFrame = {

@@ -58,6 +58,16 @@ class StreamParitySpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming broadcast-link ≡ batch linked frame") {
+    val got = streaming.StreamOps.runToBatch(spark,
+      streaming.StreamOps.linkedStream(spark, sfDir), "sp_linked", "append")
+      .collect().toSet
+    val want = Pipeline.linked(spark, sfDir).drop("text", "ts")
+      .collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming exact-dedup keeper table ≡ batch Dedup group table") {
     import org.apache.spark.sql.functions._
     val got = streaming.StreamOps.runToBatch(spark,
