@@ -110,6 +110,10 @@ object Education {
     val b = base.withColumn("n", row_number().over(w).cast("string"))
       .withColumn("ctx", concat(lit(Ns.ctx), col("conv_id"), lit("_"),
         col("ctype"), lit("_"), col("n")))
+      // 14 emission branches read this frame (no cross-branch subtree
+      // sharing in Catalyst) — materialize the small per-block frame once;
+      // released by the harness (Caches)
+      .localCheckpoint()
     val school = col("obj_value")
     val attendPred = element_at(
       array((levelPreds :+ "schoolAttended").map(p => lit(Ns.pred + p)): _*),

@@ -75,6 +75,13 @@ object Names {
       .withColumn("family",
         when(col("kind") === "birthname",
           element_at(split(col("surface"), " "), 2)).otherwise(lit(null)))
+      // the 16 emission branches below each re-evaluate this frame —
+      // Catalyst shares no common subtrees across union branches, so
+      // without materialization the extraction+dedup+window pipeline runs
+      // 16×. The frame is small (one row per distinct (conv, name));
+      // localCheckpoint per the self-union-over-cache contract
+      // (BENCH/BASELINE.md round 4), released by the harness (Caches).
+      .localCheckpoint()
     def t(df: DataFrame, subj: org.apache.spark.sql.Column, pred: String,
           obj: org.apache.spark.sql.Column, isIri: Boolean,
           dtype: String = "") =

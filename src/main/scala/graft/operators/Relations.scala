@@ -126,8 +126,15 @@ object Relations {
   /** Shared emission for the two relationship families: context type
     * triples for EVERY tag, relation triples + per-predicate activities
     * for the surviving relationship rows. */
-  private def relationshipTriples(tags: DataFrame, rels: DataFrame,
+  private def relationshipTriples(tags0: DataFrame, rels0: DataFrame,
       ctxType: String, eventType: String, labelPrefix: String): DataFrame = {
+    // each emission branch below re-evaluates its source frame (no
+    // cross-branch subtree sharing in Catalyst): tags feeds 2 context
+    // branches + the acts join, rels feeds the relation branch + the acts
+    // aggregation ×4 — materialize both once (small: one row per
+    // relationship tag/name); released by the harness (Caches)
+    val tags = tags0.localCheckpoint()
+    val rels = rels0.localCheckpoint()
     val convUri = concat(lit(Ns.conv), col("conv_id"))
     val ctxTriples =
       t(tags, col("ctx"), lit(Ns.rdfType), lit(Ns.tContext), isIri = true)
@@ -151,11 +158,12 @@ object Relations {
             lit("interpersonalRelationshipWith"),
             lit(splitByCasing("interpersonalRelationshipWith").toLowerCase)): _*),
         col("prd"))))
+    val actsCk = acts.localCheckpoint() // 4 branches below
     val actTriples =
-      t(acts, col("ctx"), lit(Ns.pred + "linksActivity"), col("act"), isIri = true)
-        .unionAll(t(acts, col("act"), lit(Ns.rdfType), lit(Ns.tActivity), isIri = true))
-        .unionAll(t(acts, col("act"), lit(Ns.rdfType), lit(eventType), isIri = true))
-        .unionAll(t(acts, col("act"), lit(Ns.rdfsLabel), col("lab"),
+      t(actsCk, col("ctx"), lit(Ns.pred + "linksActivity"), col("act"), isIri = true)
+        .unionAll(t(actsCk, col("act"), lit(Ns.rdfType), lit(Ns.tActivity), isIri = true))
+        .unionAll(t(actsCk, col("act"), lit(Ns.rdfType), lit(eventType), isIri = true))
+        .unionAll(t(actsCk, col("act"), lit(Ns.rdfsLabel), col("lab"),
           isIri = false, lang = "en"))
     ctxTriples.unionAll(relTriples).unionAll(actTriples).distinct()
   }
