@@ -131,6 +131,10 @@ object Works {
         concat(lit(Ns.work), ok.cast("string"), lit("_publisher_role_0")))
       .withColumn("place_uri",
         concat(lit(Ns.place), col("c_nationkey").cast("string")))
+      // 18 emission branches read this frame (no cross-branch subtree
+      // sharing in Catalyst): materialize the scan+broadcast-join once;
+      // released by the harness (Caches)
+      .localCheckpoint()
     def t(df: DataFrame, subj: org.apache.spark.sql.Column, pred: String,
           obj: org.apache.spark.sql.Column, isIri: Boolean,
           lang: String = "", dtype: String = "") =
