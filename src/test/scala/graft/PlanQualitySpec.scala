@@ -123,6 +123,32 @@ class PlanQualitySpec extends SparkSpec {
     assert(!cf.contains("Join"), "CF contexts must be join-free")
   }
 
+  test("family emission plans read materialized frames (no per-branch recompute)") {
+    spark.catalog.clearCache()
+    // Catalyst shares no common subtrees across union branches: without
+    // the localCheckpoint these emitters re-ran their extraction/window/
+    // join pipeline once PER BRANCH (16× in kg_names). The emission plan
+    // must therefore read the checkpointed frame (ExistingRDD) and carry
+    // no window or join of its own — those are paid once at
+    // materialization.
+    val cases = Seq(
+      "kg_names" -> operators.Names.nameTriples(Pipeline.transcripts(spark, sfDir)),
+      "kg_friends" -> operators.Relations.friendTriples(Pipeline.linked(spark, sfDir)),
+      "kg_education" -> operators.Education.educationTriples(Pipeline.linked(spark, sfDir)),
+      "kg_works_agents" -> operators.Works.agentTriples(
+        sources.Tables.orders(spark, sfDir), sources.Tables.customer(spark, sfDir)))
+    for ((name, df) <- cases) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("Scan ExistingRDD"),
+        s"$name must read its checkpointed emission frame")
+      assert(!p.contains("Window"),
+        s"$name emission must not replay its window per branch")
+      assert(!p.contains("Join"),
+        s"$name emission must not replay its joins per branch")
+    }
+    Caches.release(spark)
+  }
+
   test("whole-stage codegen covers the extraction path (no UDF breaks)") {
     val plan = Pipeline.mentions(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("*(1)"), "extraction should sit in codegen stage 1")
