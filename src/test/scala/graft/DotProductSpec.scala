@@ -60,4 +60,26 @@ class DotProductSpec extends SparkSpec {
     // sf0.01 fixture — gate well below to stay robust to fixture changes
     assert(recall >= 0.4, s"ivf recall@5 $recall too low for ${operators.Ann.NumProbe}/${operators.Ann.NumCells} probes")
   }
+
+  test("lsh: banded search retrieves planted near-duplicates at rank 1") {
+    // On RANDOM vectors banded AND-hashing has near-zero overlap with
+    // brute-force top-5 BY DESIGN (measured 0.03 here): random "nearest"
+    // neighbors are not actually similar, and the bands correctly reject
+    // them — that is the precision/candidate-bound trade LSH buys. The
+    // meaningful recall property is on genuinely similar pairs: a 2×
+    // scalar copy (sign-invariant → shares ALL bands) must be found and
+    // must rank first (cos = 1).
+    import org.apache.spark.sql.functions._
+    val emb = sources.Tables.embeddings(spark, sfDir)
+    val aug = emb.select(col("vec_id"), col("embedding"))
+      .unionAll(emb.select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+    val res = operators.Ann.lshSearch(aug).as[(Long, Long, Int)].collect()
+    val queries = res.map(_._1).distinct.filter(_ < 100000L)
+    assert(queries.nonEmpty)
+    val rank1 = res.filter(_._3 == 1).map(r => (r._1, r._2)).toMap
+    val found = queries.count(q => rank1.get(q).contains(q + 100000L))
+    assert(found == queries.length,
+      s"only $found/${queries.length} planted near-dups retrieved at rank 1")
+  }
 }
