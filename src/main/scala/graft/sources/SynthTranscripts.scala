@@ -37,8 +37,20 @@ object SynthTranscripts {
     "novelist", "Novels", "singer", "singing", "preacher", "school-teacher",
     "blacksmith", "zorbulator", "weaver", "Painter", "floozle", "Ontarian")
 
-  def apply(spark: SparkSession, dir: String): DataFrame =
-    project(Tables.events(spark, dir))
+  def apply(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.events(spark, dir)
+    val parts = spark.sparkContext.defaultParallelism
+    // under-split probe via the file index (same contract as Ann.prepared):
+    // a single-row-group events file otherwise reads as ONE task and runs
+    // the whole regex-extraction + link front of every COLD query path
+    // single-threaded (measured 19 s vs ~2 s spread at sf0.1). The shuffled
+    // rows are the narrow raw events; a production table with ≥ cores
+    // files keeps its layout and pays no Exchange (Run additionally
+    // re-buckets by conv_id for the staged layout).
+    val spread = if (raw.inputFiles.length < parts) raw.repartition(parts)
+      else raw
+    project(spread)
+  }
 
   /** CHILDLESSNESS/SHORTPROSE-style keyword payloads (lifeInfo.py:80-106 +
     * birthDeath.py:15,237-256): seven reproductive-history trigger words,

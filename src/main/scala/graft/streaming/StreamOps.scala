@@ -45,6 +45,13 @@ object StreamOps {
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(scratch.toString)
+      // spread each micro-batch across the cores BEFORE the per-row work:
+      // a single-row-group file reads as ONE task, which runs the whole
+      // regex-extraction + link stage single-threaded (measured 19 s vs
+      // ~2 s spread at sf0.1). The shuffled rows are the NARROW raw events
+      // (~50 B/row) — noise next to the downstream per-row work — and the
+      // keyed/stateful consumers reshuffle by key anyway.
+      .repartition(spark.sparkContext.defaultParallelism)
   }
 
   /** Streaming mention extraction (stateless map — no watermark needed). */
@@ -76,6 +83,7 @@ object StreamOps {
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(scratch.toString)
+      .repartition(spark.sparkContext.defaultParallelism) // see eventStream
   }
 
   /** Streaming exact-dedup keeper table — ingestion-time dedup for a

