@@ -29,7 +29,16 @@ object Dedup {
     * duplicates, so the duplicate structure is defined by the query itself
     * and mirrored in the oracle.
     */
-  def corpus(docs: DataFrame): DataFrame = {
+  def corpus(docs0: DataFrame): DataFrame = {
+    // spread an under-split documents table across the cores (file-index
+    // probe, the Ann.prepared contract): the single-file fixture otherwise
+    // reads as ONE scan task and runs the shingle explode + minhash map
+    // side of every dedup query single-threaded. A production table with
+    // ≥ cores files keeps its layout; in-memory test frames (no files)
+    // also spread, which is harmless at their size.
+    val parts = docs0.sparkSession.sparkContext.defaultParallelism
+    val docs = if (docs0.inputFiles.length < parts) docs0.repartition(parts)
+      else docs0
     val base = docs.select(col("doc_id"), col("text"))
     val near = docs.select(
       (col("doc_id") + 100000).as("doc_id"),
