@@ -36,15 +36,25 @@ object StreamOps {
     * read — required by readStream). The file source needs a DIRECTORY to
     * watch; production streams land in one, the test fixture is a single
     * file — so it is symlinked into a scratch dir. */
-  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+  def eventStream(spark: SparkSession, dir: String): DataFrame =
+    eventStreamAt(spark, dir,
+      java.nio.file.Files.createTempDirectory("graft-stream").toString)
+
+  /** eventStream watching a CALLER-OWNED scratch directory — a stable
+    * watch path is what lets a Structured Streaming checkpoint resume
+    * exactly-once across restarts (the file-source log keys committed
+    * files by path; a fresh temp dir per run would re-ingest them). */
+  def eventStreamAt(spark: SparkSession, dir: String,
+                    scratch: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val scratch = Files.createTempDirectory("graft-stream")
-    Files.createSymbolicLink(
-      scratch.resolve("events.parquet"), Paths.get(s"$dir/events.parquet"))
+    Files.createDirectories(Paths.get(scratch))
+    val link = Paths.get(scratch).resolve("events.parquet")
+    if (!Files.exists(link))
+      Files.createSymbolicLink(link, Paths.get(s"$dir/events.parquet"))
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(scratch.toString)
+      .parquet(scratch)
       // spread each micro-batch across the cores BEFORE the per-row work:
       // a single-row-group file reads as ONE task, which runs the whole
       // regex-extraction + link stage single-threaded (measured 19 s vs
@@ -194,6 +204,30 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(sessionizeGroup)
       .toDF()
+  }
+
+  /** The ingest-as-it-lands RUNNER: extraction + broadcast linking as a
+    * streaming job landing to parquet with a Structured Streaming
+    * checkpoint — the production streaming shape of the staged Run
+    * (SURVEY §2.9). Drained with AvailableNow here (the sandbox has no
+    * unbounded source); a deployment replaces only the trigger.
+    * Exactly-once per input file: the checkpoint's file-source log means
+    * a restart over an unchanged input directory commits ZERO new rows
+    * (RunAndStreamSpec asserts this), and a restart after new files land
+    * processes only those. Returns the total landed row count. */
+  def executeStreaming(spark: SparkSession, dir: String,
+                       outDir: String): Long = {
+    val events = eventStreamAt(spark, dir, s"$outDir/_in")
+    val linked = graft.operators.Link.linkAll(spark, dir,
+      Mentions.extract(SynthTranscripts.project(events)))
+      .drop("ts") // event-time column not part of the linked stage schema
+    val q = linked.writeStream.format("parquet")
+      .option("path", s"$outDir/linked")
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$outDir/linked").count()
   }
 
   /** Drain a stream fully into a memory sink and return the batch result.

@@ -58,6 +58,22 @@ class StreamParitySpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming runner lands linked parquet; restart is exactly-once") {
+    val out = java.nio.file.Files.createTempDirectory("graft-stream-run").toString
+    val n1 = streaming.StreamOps.executeStreaming(spark, sfDir, out)
+    val want = Pipeline.linked(spark, sfDir).drop("ts")
+    assert(n1 == want.count())
+    // landed rows equal the batch linked stage, column for column
+    val got = spark.read.parquet(s"$out/linked")
+      .select(want.columns.map(org.apache.spark.sql.functions.col): _*)
+      .collect().toSet
+    assert(got == want.collect().toSet)
+    // restart over the unchanged input: the checkpoint's file-source log
+    // must commit zero new rows (exactly-once per file)
+    val n2 = streaming.StreamOps.executeStreaming(spark, sfDir, out)
+    assert(n2 == n1, s"restart added ${n2 - n1} duplicate rows")
+  }
+
   test("streaming broadcast-link ≡ batch linked frame") {
     val got = streaming.StreamOps.runToBatch(spark,
       streaming.StreamOps.linkedStream(spark, sfDir), "sp_linked", "append")
