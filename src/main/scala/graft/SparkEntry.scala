@@ -169,6 +169,27 @@ object SparkEntry {
     "kg_agent_uris" -> ((s, d) =>
       operators.Extras.agentUris(Pipeline.mentions(s, d))),
     // direct n-gram Jaccard on the known near-dup pairs (no LSH)
+    // near-dup CLUSTER COLLAPSE: verified duplicate pairs closed into
+    // connected components through the SAME generic closure the sameAs
+    // machinery uses (driver union-find ≤100k edges, min-label beyond) —
+    // the final (doc_id, keep_id) decision a curation pipeline acts on.
+    // Doc ids ride as lpad-9 strings so the closure's lexicographic min
+    // IS the numeric min.
+    "doc_dedup_clusters" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val c = operators.Dedup.corpus(sources.Tables.documents(s, d))
+      val sh = operators.Dedup.shingles(c).localCheckpoint()
+      val cand = operators.Dedup.lshCandidates(
+        operators.Dedup.bands(operators.Dedup.minhash(sh)))
+      def key(x: org.apache.spark.sql.Column) = lpad(x.cast("string"), 9, "0")
+      val dup = operators.Dedup.jaccardVerify(cand, sh).filter(col("is_dup"))
+        .select(key(col("a")).as("a"), key(col("b")).as("b"))
+      val canon = operators.SameAs.closure(dup)
+      c.select(col("doc_id"))
+        .join(canon, key(col("doc_id")) === col("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("canon").cast("long"), col("doc_id")).as("keep_id"))
+    }),
     "doc_jaccard_pairs" -> ((s, d) => {
       val c = operators.Dedup.corpus(sources.Tables.documents(s, d))
       val sh = operators.Dedup.shingles(c).localCheckpoint()

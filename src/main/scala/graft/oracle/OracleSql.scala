@@ -1267,6 +1267,32 @@ FROM cand c
 LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
 JOIN sizes na ON na.doc_id = c.a
 JOIN sizes nb ON nb.doc_id = c.b"""),
+    // near-dup cluster collapse: connected components of the verified
+    // duplicate pairs via a recursive reachability CTE (min of the
+    // reachable set = the closure's min-label), LEAST'd with the node
+    // itself — exactly SameAs.closure's (node, min-of-component) contract
+    "doc_dedup_clusters" -> (CORPUS.replaceFirst("WITH corpus",
+      "WITH RECURSIVE corpus") + """
+, sizes AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY 1),
+inter AS (
+  SELECT c.a, c.b, count(*) AS inter
+  FROM cand c JOIN sh3 sa ON sa.doc_id = c.a
+              JOIN sh3 sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+  GROUP BY c.a, c.b),
+dup AS (
+  SELECT c.a, c.b FROM cand c
+  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+  JOIN sizes na ON na.doc_id = c.a
+  JOIN sizes nb ON nb.doc_id = c.b
+  WHERE COALESCE(i.inter, 0) * 5 >= (na.n + nb.n - COALESCE(i.inter, 0)) * 4),
+ed AS (SELECT a, b FROM dup UNION ALL SELECT b, a FROM dup),
+reach AS (
+  SELECT a AS s, b AS t FROM ed
+  UNION
+  SELECT r.s, e.b FROM reach r JOIN ed e ON e.a = r.t),
+keeper AS (SELECT s AS node, min(t) AS k FROM reach GROUP BY 1)
+SELECT c.doc_id, CAST(COALESCE(LEAST(k.k, c.doc_id), c.doc_id) AS BIGINT) AS keep_id
+FROM corpus c LEFT JOIN keeper k ON k.node = c.doc_id"""),
     "doc_jaccard_pairs" -> (CORPUS + """
 , pairs AS (SELECT doc_id AS a, doc_id + 100000 AS b FROM documents),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY 1),
