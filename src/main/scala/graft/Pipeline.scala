@@ -36,21 +36,27 @@ object Pipeline {
     SameAs.closure(SameAs.edgesOf(triples(s, d)))
 
   def canonTriples(s: SparkSession, d: String): DataFrame = {
-    // Only the FACT triples feed multiple consumers (edge extraction + the
-    // candidate/bypass branches of the rewrite) — materialize just them,
-    // as a localCheckpoint: canonicalize's self-union over a merely
-    // CACHED plan silently rebuilds one branch (SameAs.canonicalize input
-    // contract), the RDD-backed checkpoint is read by every consumer. The
-    // snippet-heavy context triples stream through exactly once, untouched
-    // by the rewrite (the canon map holds identity URIs only). In the
-    // staged Run the materialized parquet plays the checkpoint's role.
-    val l = Emit.persistedLinked(linked(s, d))
-    val facts = Emit.factTriples(s, d, transcripts(s, d), l)
-      .localCheckpoint()
+    // ONE materialization, split by SUBJECT NAMESPACE:
+    // context/activity subjects live under Ns.ctx / Ns.act by construction
+    // and fact subjects under Ns.conv / Ns.person — disjoint prefixes — so
+    // filtering the materialized table reproduces exactly the former
+    // factTriples / contextTriples / activityTriples partition (oracle
+    // unchanged). The former shape re-ran the ctx ordinal window + snippet
+    // build and the activity window per call ON TOP of the fact emission;
+    // this shape pays one emission (cache-substituted with the harness's
+    // warm shared triple table when staged) plus one checkpoint. The
+    // localCheckpoint (not a mere cache) stays required: the rewrite reads
+    // the table in three branches (candidate/bypass/edges), and a
+    // self-union over a cached plan silently rebuilds one branch
+    // (SameAs.canonicalize input contract).
+    import graft.model.Ns
+    val all = triples(s, d).localCheckpoint()
+    val isCtxAct =
+      col("subj").startsWith(Ns.ctx) || col("subj").startsWith(Ns.act)
+    val facts = all.filter(!isCtxAct)
     val canon = SameAs.closure(SameAs.edgesOf(facts))
     SameAs.canonicalize(facts, canon)
-      .unionAll(Emit.contextTriples(l))
-      .unionAll(Emit.activityTriples(l)) // date/cert objects — canon-inert
+      .unionAll(all.filter(isCtxAct)) // ctx/act rows — canon-inert bypass
   }
 
   /** Context ordinals (W1/A5) surfaced directly for verification — the

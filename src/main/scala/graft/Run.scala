@@ -57,11 +57,17 @@ object Run {
       // prune to one bucket directory instead of scanning the uber table.
       // Shuffle onto the bucket key before the write: without it every
       // upstream task writes into every bucket directory (tasks × buckets
-      // files — 480 small files at bench scale) and the commit + every
-      // downstream scan pays the fan-out; with it each bucket is written
-      // by its own task(s) (one file per bucket, splittable on read).
+      // files) and the commit + every downstream scan pays the fan-out;
+      // with it each bucket is written wholly by one task (one file per
+      // bucket, splittable on read). Bucket count is SCALE-ADAPTIVE:
+      // 4× the core count (min 16) — a fixed 16 buckets hashed into 32
+      // reduce partitions left ≤16 of them non-empty (guide §2.5: too few
+      // distinct synthetic key values), capping the write stage at half
+      // the cores; 4× gives ~(1-e^-4) ≈ 98% expected task occupancy while
+      // keeping per-bucket files large at production scale.
+      val buckets = math.max(16, 4 * spark.sparkContext.defaultParallelism)
       Emit.allTriples(spark, sfDir, transcripts, linked)
-        .withColumn("bucket", pmod(xxhash64(col("subj")), lit(16)))
+        .withColumn("bucket", pmod(xxhash64(col("subj")), lit(buckets)))
         .repartition(spark.sparkContext.defaultParallelism, col("bucket"))
     }
     val canon = m.stage("canon") {

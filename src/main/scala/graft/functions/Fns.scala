@@ -35,7 +35,9 @@ object Fns {
     // linking stage's generated code past janino's 64 KB method limit and
     // silently disabled whole-stage codegen for the ENTIRE extract+link
     // plan (the hot path of every kg query).
-    val t0 = regexp_replace(trim(regexp_replace(lower(c), "-", " ")), " ", "")
+    // Literal-pattern stages use replace() (UTF8String scan, no regex
+    // engine); only the anchored suffix strips need a regex.
+    val t0 = replace(trim(replace(lower(c), lit("-"), lit(" "))), lit(" "), lit(""))
     val t1 = regexp_replace(t0, "s$", "") // drop ONE trailing s
     // a 3-char suffix can only match when length >= 3, so the old length
     // guard is implied ("ism" itself strips to "")
@@ -48,7 +50,7 @@ object Fns {
     * only lowercase + strip hyphens/whitespace, no suffix stemming.
     */
   def cleanTermSimple(c: Column): Column =
-    regexp_replace(trim(regexp_replace(lower(c), "-", " ")), " ", "")
+    replace(trim(replace(lower(c), lit("-"), lit(" "))), lit(" "), lit(""))
 
   /** `remove_punctuation` + space→underscore + special folds
     * (`Utils/utilities.py:221-235`). Feeds URI minting, so it must be
@@ -112,13 +114,16 @@ object Fns {
   private val delChars = "\u044a\u044c\u042a\u042c" // hard/soft signs, deleted
 
   def removePunctuation(c: Column): Column = {
+    // every multi-fold pattern is a literal — replace() (UTF8String scan,
+    // returns the input untouched on no-match) instead of 31 chained regex
+    // matchers per row on the URI-minting hot path
     val chained = multiFolds.foldLeft(c) { case (acc, (from, to)) =>
-      regexp_replace(acc, from, to) }
+      replace(acc, lit(from), lit(to)) }
     val folded2 = translate(chained,
       foldPairs.map(_._1).mkString + cyrGreekPairs.map(_._1).mkString + delChars,
       foldPairs.map(_._2).mkString + cyrGreekPairs.map(_._2).mkString)
     val noPunct = regexp_replace(folded2, """[!"#$%&'()*+,./:;<=>?@\[\\\]^`{|}~_]""", "")
-    regexp_replace(noPunct, " ", "_")
+    replace(noPunct, lit(" "), lit("_"))
   }
 
   /** `make_standard_uri` (`Utils/utilities.py:307-316`): namespace prepend
@@ -152,10 +157,13 @@ object Fns {
     */
   val SnippetMaxWords = 12
   def snippet(c: Column, maxWords: Int = SnippetMaxWords): Column = {
+    // literal replaces ride replace() — same left-to-right all-occurrence
+    // semantics as str.replace/regexp_replace, no regex engine per row
+    // (this runs once per context row, the widest emission branch)
     val budgeted = limitToFullSentences(c, maxWords)
-    val s1 = regexp_replace(budgeted, "\n", " ")
-    val s2 = regexp_replace(s1, "\\.", ". ")
-    val s3 = regexp_replace(s2, "  ", " ")
+    val s1 = replace(budgeted, lit("\n"), lit(" "))
+    val s2 = replace(s1, lit("."), lit(". "))
+    val s3 = replace(s2, lit("  "), lit(" "))
     trim(s3)
   }
 
@@ -165,14 +173,28 @@ object Fns {
     * artifact — replayed exactly, quirks included.
     */
   def limitToFullSentences(c: Column, maxWords: Int): Column = {
+    // The fold state carries (text, space-count): the reference recomputes
+    // the accumulated text's word count per sentence (split of the whole
+    // accumulator each step — O(words²) per row); counting spaces
+    // incrementally is provably identical (size(split(s," "))-1 == number
+    // of ' ' chars in s; concat adds none, the appended '.' adds none, so
+    // the count composes) and makes the row cost linear. Runs per context
+    // row — the widest emission branch.
     val s = trim(c)
-    val acc = aggregate(split(s, "\\."), lit(""), (acc, x) => {
-      val candidate = concat(acc, trim(x))
-      val withDot = when(candidate.endsWith("."), candidate)
-        .otherwise(concat(candidate, lit(".")))
-      when(size(split(acc, " ")) - 1 < maxWords, withDot).otherwise(acc)
-    })
-    when(s === "", s).otherwise(regexp_replace(acc, "\\.  \\.", ". "))
+    val acc = aggregate(split(s, "\\."),
+      struct(lit("").as("s"), lit(0).as("n")),
+      (acc, x) => {
+        val t = trim(x)
+        val candidate = concat(acc.getField("s"), t)
+        val withDot = when(candidate.endsWith("."), candidate)
+          .otherwise(concat(candidate, lit(".")))
+        when(acc.getField("n") < maxWords,
+          struct(withDot.as("s"),
+            (acc.getField("n") + size(split(t, " ")) - 1).as("n")))
+          .otherwise(acc)
+      },
+      a => a.getField("s"))
+    when(s === "", s).otherwise(replace(acc, lit(".  ."), lit(". ")))
   }
 
   /** F9 — the FULL 13-format date-parse cascade, one try per strptime

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
 object JsonLd {
 
   private def esc(c: org.apache.spark.sql.Column) =
-    regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
+    replace(replace(c, lit("\\"), lit("\\\\")), lit("\""), lit("\\\""))
 
   def export(triples: DataFrame): DataFrame = {
     val obj = when(col("obj_is_iri"),

@@ -15,9 +15,10 @@ import org.apache.spark.sql.functions._
 object NTriples {
 
   private def escapeLit(c: org.apache.spark.sql.Column) =
-    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      c, "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n"),
-      "\r", "\\\\r"), "\t", "\\\\t")
+    // literal escapes via replace() — no regex engine on the export path
+    replace(replace(replace(replace(replace(
+      c, lit("\\"), lit("\\\\")), lit("\""), lit("\\\"")), lit("\n"), lit("\\n")),
+      lit("\r"), lit("\\r")), lit("\t"), lit("\\t"))
 
   /** Triple table → one-column ("line") N-Triples text. */
   def export(triples: DataFrame): DataFrame = {

@@ -72,12 +72,20 @@ object Quads {
     val homeGraph = when(nodeConv =!= "", concat(lit(Ns.conv), nodeConv))
       .otherwise(lit(Ns.kg + "graph/uber"))
     def pruneHome(f: DataFrame): DataFrame = f.filter(col("graph") =!= homeGraph)
+    // Each level's frontier feeds TWO consumers (the next hop AND the
+    // reached union) — Catalyst shares no subtrees across them, so without
+    // per-level materialization level 1 was computed 3×, level 2 2× (each
+    // recompute replaying its distinct shuffles and edge joins; visible as
+    // duplicated subtrees in the r6 before-plan). Checkpointing each slim
+    // (graph, subj) frontier runs every hop exactly once.
     var frontier = pruneHome(quads.filter(col("obj_is_iri"))
       .select(col("graph"), col("obj_value").as("subj"))).distinct()
+      .localCheckpoint()
     var reached = frontier
     for (_ <- 1 to 2) { // levels 2 and 3 start from level 1's frontier
       frontier = pruneHome(frontier.join(edges, "subj")
         .select(col("graph"), col("dst").as("subj"))).distinct()
+        .localCheckpoint()
       reached = reached.unionAll(frontier)
     }
     val copied = reached.distinct().join(t, "subj")

@@ -21,8 +21,9 @@ object RdfXml {
   val closeTag: String = "</rdf:RDF>"
 
   private def escXml(c: org.apache.spark.sql.Column) =
-    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;"), "\"", "&quot;")
+    replace(replace(replace(replace(
+      c, lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;")),
+      lit("\""), lit("&quot;"))
 
   def export(triples: DataFrame): DataFrame = {
     val spark = triples.sparkSession

@@ -18,8 +18,9 @@ object TriX {
   val closeTag: String = "</TriX>"
 
   private def escXml(c: org.apache.spark.sql.Column) =
-    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;"), "\"", "&quot;")
+    replace(replace(replace(replace(
+      c, lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;")),
+      lit("\""), lit("&quot;"))
 
   /** quads(graph, subj, pred, obj_value, obj_is_iri, obj_lang, obj_dtype)
     * → one-column ("line") TriX text. */

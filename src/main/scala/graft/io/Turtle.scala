@@ -56,9 +56,11 @@ object Turtle {
     }
 
   private def escapeLit(c: Column) =
-    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      c, "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n"),
-      "\r", "\\\\r"), "\t", "\\\\t")
+    // literal-pattern escapes via replace() (no regex engine; a no-match
+    // pass returns the input untouched) — same replace order as before
+    replace(replace(replace(replace(replace(
+      c, lit("\\"), lit("\\\\")), lit("\""), lit("\\\"")), lit("\n"), lit("\\n")),
+      lit("\r"), lit("\\r")), lit("\t"), lit("\\t"))
 
   /** DuckDB mirror of escapeLit (same replace order: \\ first, then ",
     * \n, \r, \t) — keeps the oracle's serialization well-formed for ANY

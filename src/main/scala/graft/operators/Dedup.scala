@@ -109,14 +109,25 @@ object Dedup {
   }
 
   /** Exact shingle-Jaccard verification of candidate pairs. Emits integer
-    * (inter, uni) plus the ≥0.8 decision as `5*inter >= 4*uni`. */
+    * (inter, uni) plus the ≥0.8 decision as `5*inter >= 4*uni`.
+    *
+    * `cand` feeds TWO branches of this plan (the intersection subquery and
+    * the left join that keeps zero-overlap pairs) and `sizes` two more —
+    * Catalyst shares no common subtrees, so without materialization the
+    * whole candidate pipeline (shingle → minhash → bands → bucket join)
+    * executed twice per call and the shingle frame aggregated twice
+    * (measured: both copies visible as duplicated subtrees in the r6
+    * before-plan). Both frames are tiny (pairs / one row per doc), so the
+    * localCheckpoints are near-free and the upstream runs exactly once;
+    * the harness's Caches.release frees the blocks after the query. */
   def jaccardVerify(cand: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val c = cand.localCheckpoint()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n")).localCheckpoint()
     val shA = sh.select(col("doc_id").as("a"), col("shingle"))
     val shB = sh.select(col("doc_id").as("b"), col("shingle"))
-    val inter = cand.join(shA, "a").join(shB, Seq("b", "shingle"))
+    val inter = c.join(shA, "a").join(shB, Seq("b", "shingle"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-    cand.join(inter, Seq("a", "b"), "left")
+    c.join(inter, Seq("a", "b"), "left")
       .na.fill(0, Seq("inter"))
       .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
       .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
