@@ -45,8 +45,20 @@ object Quads {
     // (Spark's cache substitution fails there — see SameAs.canonicalize
     // input contract); the RDD-backed checkpoint is eagerly materialized
     // once and read by every branch, which also kills the cache-fill race
-    // the old eager persist worked around.
-    val t = triples.localCheckpoint()
+    // the old eager persist worked around. When the caller's frame is
+    // ALREADY cached (the bench's eagerly-counted warm shared stage), the
+    // copy is skipped: an eager cache has no fill race, and re-copying
+    // 3M rows into checkpoint blocks per call was pure overhead.
+    // Measured (r6, warm, 5 reps): skip-if-cached + bounded copy-join
+    // broadcast 6.0 s vs always-checkpoint + broadcast 7.5 s vs original
+    // checkpoint + SortMergeJoin 8.7 s. An eagerly-counted cache has no
+    // fill race, and bfs's remaining full-width scans of t are few enough
+    // that re-copying 3M rows into checkpoint blocks per call cost more
+    // than the columnar-cache re-scans (canonTriples measures the other
+    // way — it re-reads its table three times).
+    val t = if (triples.storageLevel !=
+        org.apache.spark.storage.StorageLevel.NONE) triples
+      else triples.localCheckpoint()
     val quads = export(t)
     // Frontier expansion factors through the DISTINCT IRI edge set: level
     // k+1's frontier = distinct (graph, obj) of frontier_k ⋈ triples, which
@@ -88,7 +100,18 @@ object Quads {
         .localCheckpoint()
       reached = reached.unionAll(frontier)
     }
-    val copied = reached.distinct().join(t, "subj")
+    // The copy join's left side (distinct reached (graph, node) pairs) is
+    // orders of magnitude smaller than the triple table — broadcast it
+    // while it is provably bounded so the FULL triple table is never
+    // shuffled+sorted for this join (the before-plan's SortMergeJoin moved
+    // all 3.1M rows); beyond the bound fall back to the shuffle join —
+    // the 10^12-turn-scale path, where `reached` grows with the graph.
+    // The count is read from the just-materialized checkpoint — no extra
+    // pass over anything upstream.
+    val reachedCk = reached.distinct().localCheckpoint()
+    val reachedSmall =
+      if (reachedCk.count() <= 3000000L) broadcast(reachedCk) else reachedCk
+    val copied = reachedSmall.join(t, "subj")
       .select(col("graph"), col("subj"), col("pred"), col("obj_value"),
         col("obj_is_iri"), col("obj_lang"), col("obj_dtype"))
     // NO final set-distinct — it is provably a no-op here, and over the
