@@ -38,16 +38,19 @@ object Emit {
   /** Per-conversation skeleton (`Biography/biography.py:198-226`):
     * type + label triples. */
   def skeleton(transcripts: DataFrame): DataFrame = {
+    // ONE pass over the distinct convs: both rows ride one exploded
+    // struct array — the former two-branch self-union re-ran the
+    // distinct aggregation per branch (no common-subtree sharing)
     val convs = transcripts.select(col("conv_id")).distinct()
-    val typed = convs.select(
+    val typed = struct(
       convUri.as("subj"), lit(Ns.rdfType).as("pred"),
       lit(Ns.tPerson).as("obj_value"), lit(true).as("obj_is_iri"),
       lit("").as("obj_lang"), lit("").as("obj_dtype"))
-    val labeled = convs.select(
+    val labeled = struct(
       convUri.as("subj"), lit(Ns.rdfsLabel).as("pred"),
       col("conv_id").as("obj_value"), lit(false).as("obj_is_iri"),
       lit("en").as("obj_lang"), lit("").as("obj_dtype"))
-    typed.unionAll(labeled)
+    convs.select(explode(array(typed, labeled)).as("t")).select(col("t.*"))
   }
 
   /** Linked-mention fact triples: (conv, pred(kind), obj). Unmatched places
@@ -109,23 +112,25 @@ object Emit {
     * KNOWN at emission — recovering it downstream with a per-row regex
     * over the biggest tables was the expensive way around). */
   private[graft] def contextTriplesConv(linked: DataFrame): DataFrame = {
+    // ONE window pass: all three per-context triples ride one exploded
+    // struct array. The former three-branch self-union re-ran the ordinal
+    // sort+window+projection PER BRANCH (the shuffle itself was reused by
+    // ReuseExchange, the sort/window above it was not) — 3× the window on
+    // the widest emission path. Same multiset of rows.
     val ctx = ctxFrame(linked)
-    val typed = ctx.select(col("ctx_uri").as("subj"),
-      lit(Ns.rdfType).as("pred"), lit(Ns.tContext).as("obj_value"),
-      lit(true).as("obj_is_iri"), lit("").as("obj_lang"),
-      lit("").as("obj_dtype"), col("conv_id").as("conv"))
-    val target = ctx.select(col("ctx_uri").as("subj"),
-      lit(Ns.hasTarget).as("pred"),
+    def t(pred: String, obj: org.apache.spark.sql.Column, isIri: Boolean,
+          lang: String) =
+      struct(col("ctx_uri").as("subj"), lit(pred).as("pred"),
+        obj.as("obj_value"), lit(isIri).as("obj_is_iri"),
+        lit(lang).as("obj_lang"), lit("").as("obj_dtype"))
+    val typed = t(Ns.rdfType, lit(Ns.tContext), isIri = true, "")
+    val target = t(Ns.hasTarget,
       concat(lit("/conv["), col("conv_id"), lit("]/turn["),
-        col("turn_idx").cast("string"), lit("]")).as("obj_value"),
-      lit(false).as("obj_is_iri"), lit("").as("obj_lang"),
-      lit("").as("obj_dtype"), col("conv_id").as("conv"))
-    val snip = ctx.select(col("ctx_uri").as("subj"),
-      lit(Ns.hasSnippet).as("pred"),
-      Fns.snippet(col("text")).as("obj_value"),
-      lit(false).as("obj_is_iri"), lit("en").as("obj_lang"),
-      lit("").as("obj_dtype"), col("conv_id").as("conv"))
-    typed.unionAll(target).unionAll(snip)
+        col("turn_idx").cast("string"), lit("]")), isIri = false, "")
+    val snip = t(Ns.hasSnippet, Fns.snippet(col("text")), isIri = false, "en")
+    ctx.select(explode(array(typed, target, snip)).as("t"),
+        col("conv_id").as("conv"))
+      .select(col("t.*"), col("conv"))
   }
 
   /** Kinds that carry an event character → Activity nodes (the reference's
@@ -163,26 +168,33 @@ object Emit {
       .withColumn("lexical", lex)
       .withColumn("fd", Fns.formatDate(col("lexical")))
       .withColumn("cert", Fns.dateCertainty(certCode))
+    // ONE window pass: all 8 activity/time-span triples of a mention ride
+    // one exploded struct array — the former eight-branch self-union
+    // re-ran the ordinal sort+window+date projections PER BRANCH (only the
+    // exchange below them was reused). Same multiset of rows.
     def t(subj: org.apache.spark.sql.Column, pred: String,
           obj: org.apache.spark.sql.Column, isIri: Boolean,
           lang: String, dtype: org.apache.spark.sql.Column) =
-      a.select(subj.as("subj"), lit(pred).as("pred"), obj.as("obj_value"),
+      struct(subj.as("subj"), lit(pred).as("pred"), obj.as("obj_value"),
         lit(isIri).as("obj_is_iri"), lit(lang).as("obj_lang"),
-        dtype.as("obj_dtype"), col("conv_id").as("conv"))
+        dtype.as("obj_dtype"))
     val label = concat(col("conv_id"), lit(" "), col("kind"),
       lit(" activity "), col("ordinal").cast("string"))
-    t(col("act_uri"), Ns.rdfType, lit(Ns.tActivity), isIri = true, "", lit(""))
-      .unionAll(t(col("act_uri"), Ns.rdfsLabel, label, isIri = false, "en", lit("")))
-      .unionAll(t(col("act_uri"), Ns.hasTimeSpan, col("tspan_uri"), isIri = true, "", lit("")))
-      .unionAll(t(col("tspan_uri"), Ns.rdfType, lit(Ns.tTimeSpan), isIri = true, "", lit("")))
-      .unionAll(t(col("tspan_uri"), Ns.atSomeTimeWithin, col("fd.lexical"),
-        isIri = false, "", col("fd.dtype")))
-      .unionAll(t(col("tspan_uri"), Ns.beginOfBegin, Dates.intervalStart(col("lexical")),
-        isIri = false, "", lit(Ns.xsdDateTime)))
-      .unionAll(t(col("tspan_uri"), Ns.endOfEnd, Dates.intervalEnd(col("lexical")),
-        isIri = false, "", lit(Ns.xsdDateTime)))
-      .unionAll(t(col("tspan_uri"), Ns.hasCertainty, col("cert"),
+    val rows = array(
+      t(col("act_uri"), Ns.rdfType, lit(Ns.tActivity), isIri = true, "", lit("")),
+      t(col("act_uri"), Ns.rdfsLabel, label, isIri = false, "en", lit("")),
+      t(col("act_uri"), Ns.hasTimeSpan, col("tspan_uri"), isIri = true, "", lit("")),
+      t(col("tspan_uri"), Ns.rdfType, lit(Ns.tTimeSpan), isIri = true, "", lit("")),
+      t(col("tspan_uri"), Ns.atSomeTimeWithin, col("fd.lexical"),
+        isIri = false, "", col("fd.dtype")),
+      t(col("tspan_uri"), Ns.beginOfBegin, Dates.intervalStart(col("lexical")),
+        isIri = false, "", lit(Ns.xsdDateTime)),
+      t(col("tspan_uri"), Ns.endOfEnd, Dates.intervalEnd(col("lexical")),
+        isIri = false, "", lit(Ns.xsdDateTime)),
+      t(col("tspan_uri"), Ns.hasCertainty, col("cert"),
         isIri = false, "", lit("")))
+    a.select(explode(rows).as("t"), col("conv_id").as("conv"))
+      .select(col("t.*"), col("conv"))
   }
 
   /** owl:sameAs edges for every mentioned, authority-linked person:
@@ -196,17 +208,22 @@ object Emit {
       .filter(col("kind") === "person" && col("matched"))
       .select(col("obj_value").as("uri")).distinct()
     val withMeta = mentioned.join(people, Seq("uri"))
-    val viaf = withMeta.select(col("uri").as("subj"),
+    // one pass over the joined frame: the viaf edge always, the chain edge
+    // when k%5≠0, as one exploded (null-compacted) struct array — the
+    // former two-branch self-union re-ran the mentioned-distinct + join
+    // per branch
+    val viaf = struct(col("uri").as("subj"),
       lit(Ns.owlSameAs).as("pred"), col("viaf_uri").as("obj_value"),
       lit(true).as("obj_is_iri"), lit("").as("obj_lang"),
       lit("").as("obj_dtype"))
-    val chain = withMeta.filter(col("custkey") % 5 =!= 0)
-      .select(col("uri").as("subj"), lit(Ns.owlSameAs).as("pred"),
+    val chain = when(col("custkey") % 5 =!= 0,
+      struct(col("uri").as("subj"), lit(Ns.owlSameAs).as("pred"),
         concat(lit(Ns.person), (col("custkey") - 1).cast("string"))
           .as("obj_value"),
         lit(true).as("obj_is_iri"), lit("").as("obj_lang"),
-        lit("").as("obj_dtype"))
-    viaf.unionAll(chain)
+        lit("").as("obj_dtype")))
+    withMeta.select(explode(array_compact(array(viaf, chain))).as("t"))
+      .select(col("t.*"))
   }
 
   /** FreestandingEvents (`FreestandingEvents/freestanding_events.py:50-107`):
@@ -225,17 +242,19 @@ object Emit {
         concat(lit(Ns.event), col("conv_id"), lit("_Event_"),
           col("ordinal").cast("string")))
       .withColumn("fd", fd)
-    val typed = ev.select(col("ev_uri").as("subj"),
+    // one window pass, three exploded structs — same rule as the
+    // context/activity emission (the self-union replayed the window)
+    val typed = struct(col("ev_uri").as("subj"),
       lit(Ns.rdfType).as("pred"), lit(Ns.tEvent).as("obj_value"),
       lit(true).as("obj_is_iri"), lit("").as("obj_lang"), lit("").as("obj_dtype"))
-    val label = ev.select(col("ev_uri").as("subj"),
+    val label = struct(col("ev_uri").as("subj"),
       lit(Ns.rdfsLabel).as("pred"), Fns.snippet(col("text")).as("obj_value"),
       lit(false).as("obj_is_iri"), lit("en").as("obj_lang"), lit("").as("obj_dtype"))
-    val date = ev.select(col("ev_uri").as("subj"),
+    val date = struct(col("ev_uri").as("subj"),
       lit(Ns.atSomeTimeWithin).as("pred"), col("fd.lexical").as("obj_value"),
       lit(false).as("obj_is_iri"), lit("").as("obj_lang"),
       col("fd.dtype").as("obj_dtype"))
-    typed.unionAll(label).unionAll(date)
+    ev.select(explode(array(typed, label, date)).as("t")).select(col("t.*"))
   }
 
   /** The full graph: union of all emitters + set-dedup (the reference's

@@ -65,17 +65,17 @@ object Extras {
     * SURVEY.md §7.4 hard-part 4). Orgs mentioned ≥3 times across the corpus
     * are retyped MajorOrg; their default Org typing is withheld via
     * left_anti. */
-  def orgTypeTriples(linked: DataFrame): DataFrame = {
-    val orgs = linked.filter(col("kind") === "org" && col("matched"))
+  def orgTypeTriples(linked: DataFrame): DataFrame =
+    // each org lands in EXACTLY one of {default, retyped}, so the
+    // retraction is a per-row CASE over one aggregation — the former
+    // two-branch shape aggregated twice and paid a left_anti join for
+    // what a projection decides (same rows)
+    linked.filter(col("kind") === "org" && col("matched"))
       .groupBy(col("obj_value").as("org_uri"))
       .agg(count(lit(1)).as("n"))
-    val major = orgs.filter(col("n") >= 3)
-      .select(col("org_uri"), lit(Ns.kg + "type/MajorOrg").as("type_uri"))
-    val default = orgs.select(col("org_uri"),
-      lit(Ns.kg + "type/Org").as("type_uri"))
-      .join(major.select("org_uri"), Seq("org_uri"), "left_anti")
-    default.unionAll(major)
-  }
+      .select(col("org_uri"),
+        when(col("n") >= 3, lit(Ns.kg + "type/MajorOrg"))
+          .otherwise(lit(Ns.kg + "type/Org")).as("type_uri"))
 
   /** J4 — fuzzy place link (`Mods/modsBib.py:89,241-285` fuzz.ratio ≥ 95 ≈
     * near-exact): places the exact join missed are retried against the

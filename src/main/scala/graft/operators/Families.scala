@@ -15,11 +15,6 @@ import org.apache.spark.sql.functions._
   */
 object Families {
 
-  private def t(df: DataFrame, subj: Column, pred: Column, obj: Column,
-                isIri: Column, dtype: Column) =
-    df.select(subj.as("subj"), pred.as("pred"), obj.as("obj_value"),
-      isIri.as("obj_is_iri"), lit("").as("obj_lang"), dtype.as("obj_dtype"))
-
   // ---- gender extraction family ------------------------------------------
 
   /** kg_gender (`Biography/culturalForm.py:466-500` extract_gender_data +
@@ -43,9 +38,17 @@ object Families {
     val convUri = concat(lit(Ns.conv), col("conv_id"))
     val term = concat(lit(Ns.genderNs),
       when(col("gender") === "female", "Woman").otherwise("Man"))
-    t(subj, ctx, lit(Ns.rdfType), lit(Ns.tContext), lit(true), lit(""))
-      .unionAll(t(subj, ctx, lit(Ns.rdfType), lit(Ns.tGenderContext), lit(true), lit("")))
-      .unionAll(t(subj, convUri, lit(Ns.gender), term, lit(true), lit("")))
+    // one pass, three exploded structs — the three-branch self-union
+    // re-ran the mention filter + dictionary join per branch
+    def s(su: Column, pred: String, obj: Column) =
+      struct(su.as("subj"), lit(pred).as("pred"), obj.as("obj_value"),
+        lit(true).as("obj_is_iri"), lit("").as("obj_lang"),
+        lit("").as("obj_dtype"))
+    subj.select(explode(array(
+        s(ctx, Ns.rdfType, lit(Ns.tContext)),
+        s(ctx, Ns.rdfType, lit(Ns.tGenderContext)),
+        s(convUri, Ns.gender, term))).as("t"))
+      .select(col("t.*"))
       .distinct()
   }
 
@@ -161,13 +164,17 @@ object Families {
     val eid = graft.functions.Fns.eidCol
     val members = mentions.filter(col("kind") === "person")
     val convUri = concat(lit(Ns.conv), col("conv_id"))
-    maritalTags.map { case (status, m) =>
-      members.filter(eid % m === 0)
-        .select(convUri.as("subj"),
+    // one pass, per-tag null-compacted structs — the three-branch
+    // self-union re-ran the member filter (and, cold, extraction) per tag
+    val tagStructs = maritalTags.map { case (status, m) =>
+      when(eid % m === 0,
+        struct(convUri.as("subj"),
           lit(Ns.pred + "maritalStatusChange").as("pred"),
           lit(Ns.bio + status).as("obj_value"), lit(true).as("obj_is_iri"),
-          lit("").as("obj_lang"), lit("").as("obj_dtype"))
-    }.reduce(_ unionAll _).distinct()
+          lit("").as("obj_lang"), lit("").as("obj_dtype")))
+    }
+    members.select(explode(array_compact(array(tagStructs: _*))).as("t"))
+      .select(col("t.*")).distinct()
   }
 
   // ---- cause-of-death linking --------------------------------------------

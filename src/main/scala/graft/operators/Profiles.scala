@@ -31,12 +31,6 @@ import org.apache.spark.sql.functions._
   */
 object Profiles {
 
-  private def t(df: DataFrame, subj: org.apache.spark.sql.Column, pred: String,
-                obj: org.apache.spark.sql.Column, isIri: Boolean) =
-    df.select(subj.as("subj"), lit(pred).as("pred"), obj.as("obj_value"),
-      lit(isIri).as("obj_is_iri"), lit("").as("obj_lang"),
-      lit("").as("obj_dtype"))
-
   /** kg_writing: profile context + genre-harvest context + the Writer
     * Oeuvre node (`Writing/writer.py:23,57-62`): per processed person a
     * `<uri>_Oeuvre` node typed cwrc:Oeuvre, a bf:author edge from the
@@ -55,24 +49,29 @@ object Profiles {
     val ctx2 = concat(lit(Ns.ctx), col("conv_id"), lit("_WritingContext_2"))
     val convUri = concat(lit(Ns.conv), col("conv_id"))
     val oeuvre = concat(lit(Ns.conv), col("conv_id"), lit("_Oeuvre"))
-    val profile = t(summary, ctx1, Ns.profile,
-      Fns.limitWords(col("text"), 35), isIri = false)
-    val ctx1Type = t(summary, ctx1, Ns.rdfType, lit(Ns.tContext), isIri = true)
-    val ctx2Type = t(summary, ctx2, Ns.rdfType, lit(Ns.tContext), isIri = true)
-    val genres = t(
-      summary.select(col("conv_id"),
-        explode(regexp_extract_all(col("text"),
-          lit("working as ([A-Za-z-]+)"), lit(1))).as("genre")),
-      ctx2, Ns.genericRangeIncludes, col("genre"), isIri = false)
-    val oeuvreTriples =
-      t(summary, oeuvre, Ns.rdfType, lit(Ns.tOeuvre), isIri = true)
-        .unionAll(t(summary, convUri, Ns.bfAuthor, oeuvre, isIri = true))
-        .unionAll(t(summary, oeuvre, Ns.rdfsLabel,
-          concat(col("conv_id"), lit("'s Oeuvre")), isIri = false))
-        .unionAll(t(summary, oeuvre, Ns.extent,
-          Fns.limitWords(col("text"), 35), isIri = false))
-    profile.unionAll(ctx1Type).unionAll(ctx2Type).unionAll(genres)
-      .unionAll(oeuvreTriples).distinct()
+    // ONE window pass: the seven per-summary triples plus the per-genre
+    // harvest ride one exploded array (fixed structs ++ transform of the
+    // genre matches) — the former eight-branch self-union replayed the
+    // summary filter+window PER BRANCH. Same multiset.
+    def s(subj: org.apache.spark.sql.Column, pred: String,
+          obj: org.apache.spark.sql.Column, isIri: Boolean) =
+      struct(subj.as("subj"), lit(pred).as("pred"), obj.as("obj_value"),
+        lit(isIri).as("obj_is_iri"), lit("").as("obj_lang"),
+        lit("").as("obj_dtype"))
+    val fixed = array(
+      s(ctx1, Ns.profile, Fns.limitWords(col("text"), 35), isIri = false),
+      s(ctx1, Ns.rdfType, lit(Ns.tContext), isIri = true),
+      s(ctx2, Ns.rdfType, lit(Ns.tContext), isIri = true),
+      s(oeuvre, Ns.rdfType, lit(Ns.tOeuvre), isIri = true),
+      s(convUri, Ns.bfAuthor, oeuvre, isIri = true),
+      s(oeuvre, Ns.rdfsLabel, concat(col("conv_id"), lit("'s Oeuvre")),
+        isIri = false),
+      s(oeuvre, Ns.extent, Fns.limitWords(col("text"), 35), isIri = false))
+    val genreRows = transform(
+      regexp_extract_all(col("text"), lit("working as ([A-Za-z-]+)"), lit(1)),
+      g => s(ctx2, Ns.genericRangeIncludes, g, isIri = false))
+    summary.select(explode(concat(fixed, genreRows)).as("t"))
+      .select(col("t.*")).distinct()
   }
 
   /** childlessness_words verbatim (lifeInfo.py:81-89), in dict order. */
@@ -108,27 +107,45 @@ object Profiles {
       .select(col("conv_id"), col("turn_idx"),
         explode(array(col("text"))).as("ptext"))
     val convUri = concat(lit(Ns.conv), col("conv_id"))
-    val cats = childlessnessWords.map { case (cat, kws) =>
-      t(tagged.filter(containsAny(col("ptext"), kws)),
-        convUri, Ns.reproductiveHistory, lit(Ns.bio + cat), isIri = true)
-    }.reduce(_ unionAll _)
+    // ONE pass over the tagged turns: each of the 7 category triples and
+    // the unspecified fallback ride one null-compacted exploded struct
+    // array — the former 8-branch self-union re-ran the tagged filter
+    // (and, cold, the transcript synthesis) per branch. Same multiset.
+    def s(subj: org.apache.spark.sql.Column, pred: String,
+          obj: org.apache.spark.sql.Column) =
+      struct(subj.as("subj"), lit(pred).as("pred"), obj.as("obj_value"),
+        lit(true).as("obj_is_iri"), lit("").as("obj_lang"),
+        lit("").as("obj_dtype"))
+    val catStructs = childlessnessWords.map { case (cat, kws) =>
+      when(containsAny(col("ptext"), kws),
+        s(convUri, Ns.reproductiveHistory, lit(Ns.bio + cat)))
+    }
     val anyKw = containsAny(col("ptext"),
       childlessnessWords.flatMap(_._2))
-    val unspecified = t(tagged.filter(!anyKw),
-      convUri, Ns.unspecifiedReproHist,
-      lit(Ns.bio + "unspecifiedReproductiveHistory"), isIri = true)
+    val unspec = when(!anyKw,
+      s(convUri, Ns.unspecifiedReproHist,
+        lit(Ns.bio + "unspecifiedReproductiveHistory")))
+    val catTriples = tagged.select(explode(
+      array_compact(array(catStructs :+ unspec: _*))).as("t"))
+      .select(col("t.*"))
     // burial events get per-conv ordinals (context_count, birthDeath.py:246)
+    // — one window pass, three exploded structs (label's lang stays "")
     val w = Window.partitionBy("conv_id").orderBy("turn_idx")
     val burial = tagged.filter(containsAny(col("ptext"), burialKeywords))
       .withColumn("ord", row_number().over(w))
       .withColumn("ev_uri", concat(lit(Ns.event), col("conv_id"),
         lit("_BurialEvent_"), col("ord").cast("string")))
-    val burialTriples =
-      t(burial, col("ev_uri"), Ns.rdfType, lit(Ns.tActivity), isIri = true)
-        .unionAll(t(burial, col("ev_uri"), Ns.rdfsLabel,
-          lit("Burial Event"), isIri = false))
-        .unionAll(t(burial, convUri, Ns.burialEvent, col("ev_uri"), isIri = true))
-    cats.unionAll(unspecified).unionAll(burialTriples).distinct()
+    def sb(subj: org.apache.spark.sql.Column, pred: String,
+           obj: org.apache.spark.sql.Column, isIri: Boolean) =
+      struct(subj.as("subj"), lit(pred).as("pred"), obj.as("obj_value"),
+        lit(isIri).as("obj_is_iri"), lit("").as("obj_lang"),
+        lit("").as("obj_dtype"))
+    val burialTriples = burial.select(explode(array(
+      sb(col("ev_uri"), Ns.rdfType, lit(Ns.tActivity), isIri = true),
+      sb(col("ev_uri"), Ns.rdfsLabel, lit("Burial Event"), isIri = false),
+      sb(convUri, Ns.burialEvent, col("ev_uri"), isIri = true))).as("t"))
+      .select(col("t.*"))
+    catTriples.unionAll(burialTriples).distinct()
   }
 
   /** BIBCIT citation nodes (`Utils/citation.py:27-60`, wired per context at
@@ -157,20 +174,25 @@ object Profiles {
         when(hasRef, refUri)
           .otherwise(concat(lit(Ns.kg + "temp/"), col("tool"))))
       .withColumn("conv_uri", concat(lit(Ns.conv), col("conv_id")))
+    // one pass, six exploded structs — the six-branch self-union re-ran
+    // the filter+projection (and, cold, the transcript synthesis) per
+    // branch. Same multiset.
     def t(subj: org.apache.spark.sql.Column, pred: String,
           obj: org.apache.spark.sql.Column, isIri: Boolean, lang: String = "") =
-      b.select(subj.as("subj"), lit(pred).as("pred"), obj.as("obj_value"),
+      struct(subj.as("subj"), lit(pred).as("pred"), obj.as("obj_value"),
         lit(isIri).as("obj_is_iri"), lit(lang).as("obj_lang"),
         lit("").as("obj_dtype"))
     val c = col("cite_uri")
-    t(col("conv_uri"), Ns.refersTo, c, isIri = true)
-      .unionAll(t(c, Ns.rdfType, lit(Ns.tLinguisticObj), isIri = true))
-      .unionAll(t(c, Ns.rdfType, lit(Ns.tCitation), isIri = true))
-      .unionAll(t(c, Ns.rdfsLabel,
-        concat(lit("Citation for "), col("conv_id")), isIri = false, lang = "en"))
-      .unionAll(t(c, Ns.referredToBy, col("citing_uri"), isIri = true))
-      .unionAll(t(c, Ns.symbolicContent,
-        col("turn_idx").cast("string"), isIri = false))
+    b.select(explode(array(
+        t(col("conv_uri"), Ns.refersTo, c, isIri = true),
+        t(c, Ns.rdfType, lit(Ns.tLinguisticObj), isIri = true),
+        t(c, Ns.rdfType, lit(Ns.tCitation), isIri = true),
+        t(c, Ns.rdfsLabel,
+          concat(lit("Citation for "), col("conv_id")), isIri = false, lang = "en"),
+        t(c, Ns.referredToBy, col("citing_uri"), isIri = true),
+        t(c, Ns.symbolicContent,
+          col("turn_idx").cast("string"), isIri = false))).as("t"))
+      .select(col("t.*"))
       .distinct()
   }
 
@@ -211,18 +233,23 @@ object Profiles {
         col("fam"), lit("Context_"), col("n")))
       .withColumn("act_uri", concat(
         regexp_replace(col("ctx_uri"), "Context", "Event"), lit("_"), col("n")))
+    // one window pass, six exploded structs — the six-branch self-union
+    // replayed the ordinal window per branch. Same multiset.
     def t(subj: org.apache.spark.sql.Column, pred: String,
           obj: org.apache.spark.sql.Column, isIri: Boolean, lang: String = "") =
-      b.select(subj.as("subj"), lit(pred).as("pred"), obj.as("obj_value"),
+      struct(subj.as("subj"), lit(pred).as("pred"), obj.as("obj_value"),
         lit(isIri).as("obj_is_iri"), lit(lang).as("obj_lang"),
         lit("").as("obj_dtype"))
-    t(col("ctx_uri"), Ns.rdfType, lit(Ns.tContext), isIri = true)
-      .unionAll(t(col("ctx_uri"), Ns.rdfType,
-        concat(lit(Ns.kg + "type/"), col("fam"), lit("Context")), isIri = true))
-      .unionAll(t(col("ctx_uri"), Ns.pred + "linksActivity", col("act_uri"), isIri = true))
-      .unionAll(t(col("act_uri"), Ns.rdfType, lit(Ns.tActivity), isIri = true))
-      .unionAll(t(col("act_uri"), Ns.rdfType,
-        concat(lit(Ns.kg + "event/"), col("fam"), lit("Event")), isIri = true))
-      .unionAll(t(col("act_uri"), Ns.rdfsLabel, col("lab"), isIri = false, lang = "en"))
+    b.select(explode(array(
+        t(col("ctx_uri"), Ns.rdfType, lit(Ns.tContext), isIri = true),
+        t(col("ctx_uri"), Ns.rdfType,
+          concat(lit(Ns.kg + "type/"), col("fam"), lit("Context")), isIri = true),
+        t(col("ctx_uri"), Ns.pred + "linksActivity", col("act_uri"), isIri = true),
+        t(col("act_uri"), Ns.rdfType, lit(Ns.tActivity), isIri = true),
+        t(col("act_uri"), Ns.rdfType,
+          concat(lit(Ns.kg + "event/"), col("fam"), lit("Event")), isIri = true),
+        t(col("act_uri"), Ns.rdfsLabel, col("lab"), isIri = false, lang = "en")))
+        .as("t"))
+      .select(col("t.*"))
   }
 }
