@@ -118,103 +118,87 @@ object Education {
     val attendPred = element_at(
       array((levelPreds :+ "schoolAttended").map(p => lit(Ns.pred + p)): _*),
       col("lvl") + 1)
-    val core =
-      t(b, col("ctx"), lit(Ns.rdfType), lit(Ns.tContext), isIri = true)
-        .unionAll(t(b, col("ctx"), lit(Ns.rdfType),
-          concat(lit(Ns.kg + "type/"), col("ctype")), isIri = true))
-        .unionAll(t(b, school, lit(Ns.rdfsLabel), col("surface"), isIri = false))
-        .unionAll(t(b, school, lit(Ns.rdfType),
-          lit(Ns.kg + "type/EducationalOrganization"), isIri = true))
-        .unionAll(t(b, col("ctx"), attendPred, school, isIri = true))
-        .unionAll(t(b.filter(col("lvl") < 3), school, lit(Ns.rdfType),
-          element_at(array(levelTypes.map(x => lit(Ns.kg + "type/" + x)): _*),
-            col("lvl") + 1), isIri = true))
-        .unionAll(t(b.filter(col("body") < 2), school, lit(Ns.rdfType),
-          element_at(array(bodyTypes.map(x => lit(Ns.kg + "type/" + x)): _*),
-            col("body") + 1), isIri = true))
-    // awards: skolemized BNode per (conv, turn, midx); classes exploded
-    // from the precomputed dispatch table
-    val aw = b.filter(col("m") % 2 === 0)
-      .withColumn("aidx", (floor(col("m") / 2) % awardNames.length).cast("int"))
-      .withColumn("aname", element_at(array(awardNames.map(lit): _*), col("aidx") + 1))
-      .withColumn("auri", concat(lit(Ns.kg + "award/"), col("conv_id"),
-        lit("_"), col("turn_idx").cast("string"), lit("_"), col("midx").cast("string")))
-    val awardTriples =
-      t(aw, col("auri"), lit(Ns.rdfsLabel), col("aname"), isIri = false)
-        .unionAll(t(aw, col("ctx"), lit(Ns.pred + "award"), col("auri"), isIri = true))
-        .unionAll(t(
-          aw.select(col("auri"), explode(element_at(
-            typedlit(awardTypes), col("aidx") + 1)).as("aty")),
-          col("auri"), lit(Ns.rdfType), col("aty"), isIri = true))
-    // degrees: context credential (education.py:249)
-    val dg = b.filter(col("m") % 3 === 0)
-      .withColumn("deg", element_at(array(degrees.map(lit): _*),
-        (floor(col("m") / 3) % degrees.length).cast("int") + 1))
-    val degreeTriples = t(dg, col("ctx"), lit(Ns.pred + "credential"),
-      concat(lit(Ns.kg + "degree/"), col("deg")), isIri = true)
-    // studied subjects (education.py:241-246): subjectOfStudy on the
-    // context, PLUS teachesEducationalSubject on the school — the latter
-    // ONLY "if len(self.schools) == 1", which in the graft's one-school-
-    // per-block shape always holds (cited quirk; a multi-school block
-    // would suppress it). INSTRUCTOR/COMPANION people-collection paths
-    // are not replayed (they would re-exercise the person machinery the
-    // relationship families already verify).
-    val sb = b.filter(col("m") % 5 === 0)
-      .withColumn("subj_term", concat(lit(Ns.kg + "subject/"),
-        element_at(array(subjects.map(lit): _*),
-          (floor(col("m") / 5) % subjects.length).cast("int") + 1)))
-    val subjectTriples =
-      t(sb, col("ctx"), lit(Ns.pred + "subjectOfStudy"), col("subj_term"), isIri = true)
-        .unionAll(t(sb, school, lit(Ns.pred + "teachesEducationalSubject"),
-          col("subj_term"), isIri = true))
-    // contested behaviour (education.py:236-238 + get_contested_behaviour
-    // :351-352): limit_words(value, 20) literals on the context; the turn
-    // text plays the tag value. Present iff m%7==0.
-    val cb = b.filter(col("m") % 7 === 0)
-    val contestedTriples = t(cb, col("ctx"),
-      lit(Ns.pred + "contestedBehaviour"),
-      graft.functions.Fns.limitWords(col("text"), 20), isIri = false)
-    // instructors (get_instructors :133-139; to_triple :121-122 school
-    // hasEmployee + :231-232 context instructor): one INSTRUCTOR person
-    // per block (m%6==0), its URI minted by the same arithmetic the person
-    // authority uses (Ns.person + custkey) — join-free like every other
-    // block attribute. The len(instructors)==1 subject attach
-    // (education.py:246-247: instructor teachesEducationalSubject) holds
-    // by construction in the one-instructor-per-block shape and fires
-    // when the block also studies a subject (m%30==0).
-    val instructorUri =
-      concat(lit(Ns.person), ((col("m") * 7) % 200).cast("string"))
-    val ins = b.filter(col("m") % 6 === 0).withColumn("person", instructorUri)
-    val subjTermOf = (mc: Column) => concat(lit(Ns.kg + "subject/"),
+    // ONE pass over the materialized block frame: every per-block triple
+    // rides one exploded struct array (fixed rows null-compacted by their
+    // m-arithmetic guards; the variable-length award-class rows as a
+    // concatenated transform over the precomputed dispatch table) — the
+    // former 16-branch self-union re-scanned the checkpoint per branch.
+    // Reference citations per row group are unchanged from r5:
+    //  - awards: skolemized BNode per (conv, turn, midx); classes from the
+    //    award_keywords/award_map dispatch (education.py:146-180)
+    //  - degrees: context credential (education.py:249)
+    //  - studied subjects (education.py:241-246): subjectOfStudy on the
+    //    context PLUS teachesEducationalSubject on the school (the
+    //    len(schools)==1 quirk holds in the one-school-per-block shape)
+    //  - contested behaviour (education.py:236-238, :351-352):
+    //    limit_words(value, 20) literals, present iff m%7==0
+    //  - instructors (get_instructors :133-139; to_triple :121-122,
+    //    :231-232): one INSTRUCTOR per block (m%6==0), arithmetic URI;
+    //    len(instructors)==1 subject attach fires when m%30==0
+    //  - companions (add_companion :313-314; to_triple :234-235), m%9==0
+    //  - school locations (get_locations :140 → to_triple :124-125), m%10
+    //  - degree subjects (get_degree_subjects → to_triple :252-253), m%15
+    val mc = col("m")
+    val aidx = (floor(mc / 2) % awardNames.length).cast("int")
+    val aname = element_at(array(awardNames.map(lit): _*), aidx + 1)
+    val auri = concat(lit(Ns.kg + "award/"), col("conv_id"),
+      lit("_"), col("turn_idx").cast("string"), lit("_"),
+      col("midx").cast("string"))
+    val degUri = concat(lit(Ns.kg + "degree/"),
+      element_at(array(degrees.map(lit): _*),
+        (floor(mc / 3) % degrees.length).cast("int") + 1))
+    val subjTerm = concat(lit(Ns.kg + "subject/"),
       element_at(array(subjects.map(lit): _*),
         (floor(mc / 5) % subjects.length).cast("int") + 1))
-    val instructorTriples =
-      t(ins, col("ctx"), lit(Ns.pred + "instructor"), col("person"), isIri = true)
-        .unionAll(t(ins, school, lit(Ns.pred + "hasEmployee"), col("person"), isIri = true))
-        .unionAll(t(ins.filter(col("m") % 5 === 0),
-          col("person"), lit(Ns.pred + "teachesEducationalSubject"),
-          subjTermOf(col("m")), isIri = true))
-    // companions (add_companion :313-314; to_triple :234-235): a COMPANION
-    // person on the context, m%9==0, distinct arithmetic key from the
-    // instructor's so the two can land on different persons.
-    val comp = b.filter(col("m") % 9 === 0)
-    val companionTriples = t(comp, col("ctx"), lit(Ns.pred + "companion"),
-      concat(lit(Ns.person), ((col("m") * 11) % 200).cast("string")), isIri = true)
-    // school locations (get_locations :140 → to_triple :124-125): a place
-    // on the SCHOOL node, m%10==0, from the place-authority URI space.
-    val locRows = b.filter(col("m") % 10 === 0)
-    val locationTriples = t(locRows, school, lit(Ns.pred + "hasLocation"),
-      concat(lit(Ns.place), ((col("m") * 3) % 25).cast("string")), isIri = true)
-    // degree subjects (get_degree_subjects → to_triple :252-253): a
-    // credentialSubject term on the context, m%15==0.
-    val ds = b.filter(col("m") % 15 === 0)
-    val degreeSubjectTriples = t(ds, col("ctx"),
-      lit(Ns.pred + "credentialSubject"),
-      concat(lit(Ns.kg + "subject/"), element_at(array(subjects.map(lit): _*),
-        (floor(col("m") / 15) % subjects.length).cast("int") + 1)), isIri = true)
-    core.unionAll(awardTriples).unionAll(degreeTriples)
-      .unionAll(subjectTriples).unionAll(contestedTriples)
-      .unionAll(instructorTriples).unionAll(companionTriples)
-      .unionAll(locationTriples).unionAll(degreeSubjectTriples).distinct()
+    val dsTerm = concat(lit(Ns.kg + "subject/"),
+      element_at(array(subjects.map(lit): _*),
+        (floor(mc / 15) % subjects.length).cast("int") + 1))
+    val instructorUri = concat(lit(Ns.person), ((mc * 7) % 200).cast("string"))
+    val companionUri = concat(lit(Ns.person), ((mc * 11) % 200).cast("string"))
+    val locationUri = concat(lit(Ns.place), ((mc * 3) % 25).cast("string"))
+    def s(subj: Column, pred: Column, obj: Column, isIri: Boolean) =
+      struct(subj.as("subj"), pred.as("pred"), obj.as("obj_value"),
+        lit(isIri).as("obj_is_iri"), lit("").as("obj_lang"),
+        lit("").as("obj_dtype"))
+    val fixed = array(
+      s(col("ctx"), lit(Ns.rdfType), lit(Ns.tContext), isIri = true),
+      s(col("ctx"), lit(Ns.rdfType),
+        concat(lit(Ns.kg + "type/"), col("ctype")), isIri = true),
+      s(school, lit(Ns.rdfsLabel), col("surface"), isIri = false),
+      s(school, lit(Ns.rdfType),
+        lit(Ns.kg + "type/EducationalOrganization"), isIri = true),
+      s(col("ctx"), attendPred, school, isIri = true),
+      when(col("lvl") < 3, s(school, lit(Ns.rdfType),
+        element_at(array(levelTypes.map(x => lit(Ns.kg + "type/" + x)): _*),
+          col("lvl") + 1), isIri = true)),
+      when(col("body") < 2, s(school, lit(Ns.rdfType),
+        element_at(array(bodyTypes.map(x => lit(Ns.kg + "type/" + x)): _*),
+          col("body") + 1), isIri = true)),
+      when(mc % 2 === 0, s(auri, lit(Ns.rdfsLabel), aname, isIri = false)),
+      when(mc % 2 === 0, s(col("ctx"), lit(Ns.pred + "award"), auri, isIri = true)),
+      when(mc % 3 === 0, s(col("ctx"), lit(Ns.pred + "credential"), degUri, isIri = true)),
+      when(mc % 5 === 0, s(col("ctx"), lit(Ns.pred + "subjectOfStudy"), subjTerm, isIri = true)),
+      when(mc % 5 === 0, s(school, lit(Ns.pred + "teachesEducationalSubject"),
+        subjTerm, isIri = true)),
+      when(mc % 7 === 0, s(col("ctx"), lit(Ns.pred + "contestedBehaviour"),
+        graft.functions.Fns.limitWords(col("text"), 20), isIri = false)),
+      when(mc % 6 === 0, s(col("ctx"), lit(Ns.pred + "instructor"),
+        instructorUri, isIri = true)),
+      when(mc % 6 === 0, s(school, lit(Ns.pred + "hasEmployee"),
+        instructorUri, isIri = true)),
+      when(mc % 6 === 0 && mc % 5 === 0, s(instructorUri,
+        lit(Ns.pred + "teachesEducationalSubject"), subjTerm, isIri = true)),
+      when(mc % 9 === 0, s(col("ctx"), lit(Ns.pred + "companion"),
+        companionUri, isIri = true)),
+      when(mc % 10 === 0, s(school, lit(Ns.pred + "hasLocation"),
+        locationUri, isIri = true)),
+      when(mc % 15 === 0, s(col("ctx"), lit(Ns.pred + "credentialSubject"),
+        dsTerm, isIri = true)))
+    val awardTypeRows = filter(
+      transform(element_at(typedlit(awardTypes), aidx + 1),
+        ty => s(auri, lit(Ns.rdfType), ty, isIri = true)),
+      _ => mc % 2 === 0)
+    b.select(explode(concat(array_compact(fixed), awardTypeRows)).as("t"))
+      .select(col("t.*")).distinct()
   }
 }

@@ -75,56 +75,55 @@ object Names {
       .withColumn("family",
         when(col("kind") === "birthname",
           element_at(split(col("surface"), " "), 2)).otherwise(lit(null)))
-      // the 16 emission branches below each re-evaluate this frame —
-      // Catalyst shares no common subtrees across union branches, so
-      // without materialization the extraction+dedup+window pipeline runs
-      // 16×. The frame is small (one row per distinct (conv, name));
-      // localCheckpoint per the self-union-over-cache contract
-      // (BENCH/BASELINE.md round 4), released by the harness (Caches).
+      // every emission row derives from this frame — materialized once
+      // (small: one row per distinct (conv, name)); localCheckpoint per
+      // the self-union-over-cache contract (BENCH/BASELINE.md round 4),
+      // released by the harness (Caches).
       .localCheckpoint()
-    def t(df: DataFrame, subj: org.apache.spark.sql.Column, pred: String,
+    // ONE pass: all 16 per-name triples ride one exploded null-compacted
+    // struct array (the former 16-branch self-union re-scanned the frame
+    // per branch). The per-conv PersonNameContext type triple is emitted
+    // per row — the trailing set-distinct collapses it to one per conv,
+    // exactly the old ranked.select(conv).distinct() branch's set.
+    def s(subj: org.apache.spark.sql.Column, pred: String,
           obj: org.apache.spark.sql.Column, isIri: Boolean,
           dtype: String = "") =
-      df.select(subj.as("subj"), lit(pred).as("pred"), obj.as("obj_value"),
+      struct(subj.as("subj"), lit(pred).as("pred"), obj.as("obj_value"),
         lit(isIri).as("obj_is_iri"), lit("").as("obj_lang"),
         lit(dtype).as("obj_dtype"))
     val nu = col("name_uri")
     val pnctx = concat(lit(Ns.ctx), col("conv_id"), lit("_PersonNameContext_0"))
     val connType = concat(lit(Ns.kg + "type/"), element_at(
       array(connotations.map(lit): _*), pmod(col("k"), lit(7)) + 1))
-    val baseType = t(ranked, nu, Ns.rdfType,
-      when(col("kind") === "nickname", lit(Ns.tNickName))
-        .otherwise(lit(Ns.tBirthName)), isIri = true)
-    val label = t(ranked, nu, Ns.rdfsLabel, col("surface"), isIri = false)
-    val conn = t(ranked.filter(col("kind") === "nickname"),
-      nu, Ns.rdfType, connType, isIri = true)
-    // WROTEORPUBLISHEDAS analog: assistant-role turns publish under the name
-    val authorial = t(ranked.filter(col("role") === "assistant"),
-      nu, Ns.rdfType, lit(Ns.tAuthorialName), isIri = true)
-    val std = ranked.filter(col("rn") === 1)
-    val stdType = t(std, nu, Ns.rdfType, lit(Ns.tIndexedName), isIri = true)
-    val stdBy = t(std, nu, Ns.indexedBy, lit("Orlando"), isIri = false)
-    // context links all variants EXCEPT the standard entry (name_list[1:])
-    val ctxLink = t(ranked.filter(col("rn") > 1),
-      pnctx, Ns.hasName, nu, isIri = true)
-    val ctxType = t(ranked.select(col("conv_id")).distinct(),
-      pnctx, Ns.rdfType, lit(Ns.tContext), isIri = true)
-    // birth-name part graph (makeBirthGraph, personname.py:80-107)
-    val bn = ranked.filter(col("kind") === "birthname")
-      .withColumn("g_uri", concat(lit(Ns.name), Fns.removePunctuation(col("given"))))
-      .withColumn("f_uri", concat(lit(Ns.name), Fns.removePunctuation(col("family"))))
-    val parts =
-      t(bn, col("g_uri"), Ns.rdfType, lit(Ns.tForename), isIri = true)
-        .unionAll(t(bn, col("g_uri"), Ns.hasSortOrder, lit("1"), isIri = false, Ns.xsdInt))
-        .unionAll(t(bn, col("g_uri"), Ns.rdfsLabel, col("given"), isIri = false))
-        .unionAll(t(bn, nu, Ns.hasNamePart, col("g_uri"), isIri = true))
-        .unionAll(t(bn, col("f_uri"), Ns.rdfType, lit(Ns.tSurname), isIri = true))
-        .unionAll(t(bn, col("f_uri"), Ns.hasSortOrder, lit("2"), isIri = false, Ns.xsdInt))
-        .unionAll(t(bn, col("f_uri"), Ns.rdfsLabel, col("family"), isIri = false))
-        .unionAll(t(bn, nu, Ns.hasNamePart, col("f_uri"), isIri = true))
-    baseType.unionAll(label).unionAll(conn).unionAll(authorial)
-      .unionAll(stdType).unionAll(stdBy).unionAll(ctxLink).unionAll(ctxType)
-      .unionAll(parts)
+    val isNick = col("kind") === "nickname"
+    val isBirth = col("kind") === "birthname"
+    val gUri = concat(lit(Ns.name), Fns.removePunctuation(col("given")))
+    val fUri = concat(lit(Ns.name), Fns.removePunctuation(col("family")))
+    val rows = Seq(
+      s(nu, Ns.rdfType,
+        when(isNick, lit(Ns.tNickName)).otherwise(lit(Ns.tBirthName)),
+        isIri = true),
+      s(nu, Ns.rdfsLabel, col("surface"), isIri = false),
+      when(isNick, s(nu, Ns.rdfType, connType, isIri = true)),
+      // WROTEORPUBLISHEDAS analog: assistant-role turns publish under the name
+      when(col("role") === "assistant",
+        s(nu, Ns.rdfType, lit(Ns.tAuthorialName), isIri = true)),
+      when(col("rn") === 1, s(nu, Ns.rdfType, lit(Ns.tIndexedName), isIri = true)),
+      when(col("rn") === 1, s(nu, Ns.indexedBy, lit("Orlando"), isIri = false)),
+      // context links all variants EXCEPT the standard entry (name_list[1:])
+      when(col("rn") > 1, s(pnctx, Ns.hasName, nu, isIri = true)),
+      s(pnctx, Ns.rdfType, lit(Ns.tContext), isIri = true),
+      // birth-name part graph (makeBirthGraph, personname.py:80-107)
+      when(isBirth, s(gUri, Ns.rdfType, lit(Ns.tForename), isIri = true)),
+      when(isBirth, s(gUri, Ns.hasSortOrder, lit("1"), isIri = false, Ns.xsdInt)),
+      when(isBirth, s(gUri, Ns.rdfsLabel, col("given"), isIri = false)),
+      when(isBirth, s(nu, Ns.hasNamePart, gUri, isIri = true)),
+      when(isBirth, s(fUri, Ns.rdfType, lit(Ns.tSurname), isIri = true)),
+      when(isBirth, s(fUri, Ns.hasSortOrder, lit("2"), isIri = false, Ns.xsdInt)),
+      when(isBirth, s(fUri, Ns.rdfsLabel, col("family"), isIri = false)),
+      when(isBirth, s(nu, Ns.hasNamePart, fUri, isIri = true)))
+    ranked.select(explode(array_compact(array(rows: _*))).as("t"))
+      .select(col("t.*"))
       .distinct()
   }
 }

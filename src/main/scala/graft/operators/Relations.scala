@@ -136,10 +136,17 @@ object Relations {
     val tags = tags0.localCheckpoint()
     val rels = rels0.localCheckpoint()
     val convUri = concat(lit(Ns.conv), col("conv_id"))
-    val ctxTriples =
-      t(tags, col("ctx"), lit(Ns.rdfType), lit(Ns.tContext), isIri = true)
-        .unionAll(t(tags, col("ctx"), lit(Ns.rdfType),
-          lit(Ns.kg + "type/" + ctxType), isIri = true))
+    // both context-type triples ride one exploded pass over the tag frame
+    // (the two-branch self-union re-scanned it per branch)
+    val ctxTriples = tags.select(explode(array(
+        struct(col("ctx").as("subj"), lit(Ns.rdfType).as("pred"),
+          lit(Ns.tContext).as("obj_value"), lit(true).as("obj_is_iri"),
+          lit("").as("obj_lang"), lit("").as("obj_dtype")),
+        struct(col("ctx").as("subj"), lit(Ns.rdfType).as("pred"),
+          lit(Ns.kg + "type/" + ctxType).as("obj_value"),
+          lit(true).as("obj_is_iri"), lit("").as("obj_lang"),
+          lit("").as("obj_dtype")))).as("t"))
+      .select(col("t.*"))
     val relTriples = t(rels, convUri,
       concat(lit(Ns.pred), col("prd")), col("obj_value"), isIri = true)
     // one Activity per (tag, distinct predicate); event_count starts at 1
@@ -158,13 +165,22 @@ object Relations {
             lit("interpersonalRelationshipWith"),
             lit(splitByCasing("interpersonalRelationshipWith").toLowerCase)): _*),
         col("prd"))))
-    val actsCk = acts.localCheckpoint() // 4 branches below
-    val actTriples =
-      t(actsCk, col("ctx"), lit(Ns.pred + "linksActivity"), col("act"), isIri = true)
-        .unionAll(t(actsCk, col("act"), lit(Ns.rdfType), lit(Ns.tActivity), isIri = true))
-        .unionAll(t(actsCk, col("act"), lit(Ns.rdfType), lit(eventType), isIri = true))
-        .unionAll(t(actsCk, col("act"), lit(Ns.rdfsLabel), col("lab"),
-          isIri = false, lang = "en"))
+    // all four activity triples ride one exploded pass over the
+    // materialized activity frame — the former 4-branch self-union
+    // re-scanned the checkpoint per branch
+    def s(subj: Column, pred: String, obj: Column, isIri: Boolean,
+          lang: String = "") =
+      struct(subj.as("subj"), lit(pred).as("pred"), obj.as("obj_value"),
+        lit(isIri).as("obj_is_iri"), lit(lang).as("obj_lang"),
+        lit("").as("obj_dtype"))
+    val actsCk = acts.localCheckpoint()
+    val actTriples = actsCk.select(explode(array(
+        s(col("ctx"), Ns.pred + "linksActivity", col("act"), isIri = true),
+        s(col("act"), Ns.rdfType, lit(Ns.tActivity), isIri = true),
+        s(col("act"), Ns.rdfType, lit(eventType), isIri = true),
+        s(col("act"), Ns.rdfsLabel, col("lab"), isIri = false, lang = "en")))
+        .as("t"))
+      .select(col("t.*"))
     ctxTriples.unionAll(relTriples).unionAll(actTriples).distinct()
   }
 
@@ -218,18 +234,25 @@ object Relations {
         lit("/"), col("k")))
     val convUri = concat(lit(Ns.conv), col("conv_id"))
     val ctypeUri = concat(lit(Ns.kg + "type/"), col("ctype"))
-    // all six rows unique by construction (≤1 CF turn per conv: 20
+    // all seven rows unique by construction (≤1 CF turn per conv: 20
     // consecutive eids contain at most one multiple of 25) — no distinct,
-    // same routing-around-distinct invariant as the other context families
-    t(b, col("ctx"), lit(Ns.rdfType), lit(Ns.tContext), isIri = true)
-      .unionAll(t(b, col("ctx"), lit(Ns.rdfType), ctypeUri, isIri = true))
-      .unionAll(t(b, convUri, concat(lit(Ns.pred), col("fpred")), col("term"),
-        isIri = true))
-      .unionAll(t(b, col("ctx"), lit(Ns.pred + "linksActivity"), col("act"),
-        isIri = true))
-      .unionAll(t(b, col("act"), lit(Ns.rdfType), lit(Ns.tActivity), isIri = true))
-      .unionAll(t(b, col("act"), lit(Ns.rdfType), ctypeUri, isIri = true))
-      .unionAll(t(b, col("act"), lit(Ns.rdfsLabel), col("lab"),
-        isIri = false, lang = "en"))
+    // same routing-around-distinct invariant as the other context
+    // families. ONE window pass, seven exploded structs — the former
+    // seven-branch self-union replayed the ordinal window per branch.
+    def s(subj: Column, pred: Column, obj: Column, isIri: Boolean,
+          lang: String = "") =
+      struct(subj.as("subj"), pred.as("pred"), obj.as("obj_value"),
+        lit(isIri).as("obj_is_iri"), lit(lang).as("obj_lang"),
+        lit("").as("obj_dtype"))
+    b.select(explode(array(
+        s(col("ctx"), lit(Ns.rdfType), lit(Ns.tContext), isIri = true),
+        s(col("ctx"), lit(Ns.rdfType), ctypeUri, isIri = true),
+        s(convUri, concat(lit(Ns.pred), col("fpred")), col("term"), isIri = true),
+        s(col("ctx"), lit(Ns.pred + "linksActivity"), col("act"), isIri = true),
+        s(col("act"), lit(Ns.rdfType), lit(Ns.tActivity), isIri = true),
+        s(col("act"), lit(Ns.rdfType), ctypeUri, isIri = true),
+        s(col("act"), lit(Ns.rdfsLabel), col("lab"), isIri = false, lang = "en")))
+        .as("t"))
+      .select(col("t.*"))
   }
 }

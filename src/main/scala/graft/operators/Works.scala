@@ -42,13 +42,17 @@ object Works {
     * hit, `modsBib.py:933-947`). */
   def workTriples(orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val workUri = concat(lit(Ns.work), col("o_orderkey").cast("string"))
-    val typed = orders.select(workUri.as("subj"),
-      lit(Ns.rdfType).as("pred"), lit(Ns.tWork).as("obj_value"),
-      lit(true).as("obj_is_iri"), lit("").as("obj_lang"), lit("").as("obj_dtype"))
-    val author = orders.select(workUri.as("subj"),
-      lit(Ns.authoredBy).as("pred"),
-      concat(lit(Ns.person), col("o_custkey").cast("string")).as("obj_value"),
-      lit(true).as("obj_is_iri"), lit("").as("obj_lang"), lit("").as("obj_dtype"))
+    // type + author ride one exploded pass — the two-branch self-union
+    // scanned orders twice
+    val typedAuthor = orders.select(explode(array(
+      struct(workUri.as("subj"),
+        lit(Ns.rdfType).as("pred"), lit(Ns.tWork).as("obj_value"),
+        lit(true).as("obj_is_iri"), lit("").as("obj_lang"), lit("").as("obj_dtype")),
+      struct(workUri.as("subj"),
+        lit(Ns.authoredBy).as("pred"),
+        concat(lit(Ns.person), col("o_custkey").cast("string")).as("obj_value"),
+        lit(true).as("obj_is_iri"), lit("").as("obj_lang"), lit("").as("obj_dtype"))))
+      .as("t")).select(col("t.*"))
     val genres = orders.select(col("o_orderkey"), workUri.as("work_uri"))
       .join(genreMap(lineitem).hint("merge"), Seq("o_orderkey"))
       .select(col("work_uri").as("subj"), lit(Ns.hasGenre).as("pred"),
@@ -68,7 +72,7 @@ object Works {
       .select(col("work_uri").as("subj"), lit(Ns.relatedWork).as("pred"),
         concat(lit(Ns.work), col("prev").cast("string")).as("obj_value"),
         lit(true).as("obj_is_iri"), lit("").as("obj_lang"), lit("").as("obj_dtype"))
-    typed.unionAll(author).unionAll(genres).unionAll(related)
+    typedAuthor.unionAll(genres).unionAll(related)
   }
 
   /** role_map verbatim (modsBib.py:380-392) — MODS role names → MARC
@@ -131,56 +135,57 @@ object Works {
         concat(lit(Ns.work), ok.cast("string"), lit("_publisher_role_0")))
       .withColumn("place_uri",
         concat(lit(Ns.place), col("c_nationkey").cast("string")))
-      // 18 emission branches read this frame (no cross-branch subtree
-      // sharing in Catalyst): materialize the scan+broadcast-join once;
-      // released by the harness (Caches)
-      .localCheckpoint()
-    def t(df: DataFrame, subj: org.apache.spark.sql.Column, pred: String,
+    // ONE pass over the joined frame: all 23 per-record triples (13
+    // unconditional, 8 publisher-gated, 2 place-gated) ride one exploded
+    // null-compacted struct array. The former 23-branch self-union
+    // replayed the scan + broadcast join per branch (r5 worked around it
+    // with a localCheckpoint read 23×; the single-pass shape needs
+    // neither the checkpoint nor the re-scans). Same multiset.
+    def t(subj: org.apache.spark.sql.Column, pred: String,
           obj: org.apache.spark.sql.Column, isIri: Boolean,
           lang: String = "", dtype: String = "") =
-      df.select(subj.as("subj"), lit(pred).as("pred"), obj.as("obj_value"),
+      struct(subj.as("subj"), lit(pred).as("pred"), obj.as("obj_value"),
         lit(isIri).as("obj_is_iri"), lit(lang).as("obj_lang"),
         lit(dtype).as("obj_dtype"))
     val o = col("origin_uri")
-    val origin =
-      t(b, o, Ns.rdfType, lit(Ns.tCreation), isIri = true)
-        .unionAll(t(b, o, Ns.hasType, lit(Ns.tProduction), isIri = true))
-        .unionAll(t(b, o, Ns.hasType, lit(Ns.tPublishing), isIri = true))
-        .unionAll(t(b, o, Ns.rdfsLabel,
-          concat(lit("creation of Work "), ok.cast("string")),
-          isIri = false, lang = "en"))
-        .unionAll(t(b, o, Ns.hasCreated, col("work_uri"), isIri = true))
-        .unionAll(t(b, o, Ns.atSomeTimeWithin,
-          col("o_orderdate").cast("string"), isIri = false,
-          dtype = Ns.xsdDate))
     val personType = when(ck % 10 === 0, lit(Ns.tActor)) // corporate analog
       .otherwise(lit(Ns.tPersonE21))
-    val agents =
-      t(b, col("person_uri"), Ns.rdfsLabel, col("cname"), isIri = false)
-        .unionAll(t(b, col("person_uri"), Ns.rdfType, personType, isIri = true))
-        .unionAll(t(b, col("agent_uri"), Ns.rdfsLabel,
-          concat(col("cname"), lit(" in role of "), col("role_name")),
-          isIri = false, lang = "en"))
-        .unionAll(t(b, col("agent_uri"), Ns.rdfType, lit(Ns.tPC14), isIri = true))
-        .unionAll(t(b, col("agent_uri"), Ns.hasRange, col("person_uri"), isIri = true))
-        .unionAll(t(b, col("agent_uri"), Ns.inRoleOf, col("role_uri"), isIri = true))
-        .unionAll(t(b, o, Ns.isDomainOf, col("agent_uri"), isIri = true))
-    val pub = b.filter(ok % 4 =!= 0)
-    val publishers =
-      t(pub, col("pub_uri"), Ns.rdfType, lit(Ns.tActor), isIri = true)
-        .unionAll(t(pub, col("pub_uri"), Ns.altLabel, col("pub_name"), isIri = false))
-        .unionAll(t(pub, col("pub_uri"), Ns.hasType, lit(Ns.role + "pbl"), isIri = true))
-        .unionAll(t(pub, col("pubrole_uri"), Ns.rdfsLabel,
-          concat(col("pub_name"), lit(" in the role of publisher")),
-          isIri = false, lang = "en"))
-        .unionAll(t(pub, col("pubrole_uri"), Ns.rdfType, lit(Ns.tPC14), isIri = true))
-        .unionAll(t(pub, col("pubrole_uri"), Ns.hasRange, col("pub_uri"), isIri = true))
-        .unionAll(t(pub, col("pubrole_uri"), Ns.inRoleOf, lit(Ns.role + "pbl"), isIri = true))
-        .unionAll(t(pub, o, Ns.isDomainOf, col("pubrole_uri"), isIri = true))
-    val pl = b.filter(ok % 5 =!= 0)
-    val places =
-      t(pl, o, Ns.tookPlaceAt, col("place_uri"), isIri = true)
-        .unionAll(t(pl, col("place_uri"), Ns.rdfType, lit(Ns.tPlace), isIri = true))
-    origin.unionAll(agents).unionAll(publishers).unionAll(places).distinct()
+    val always = Seq(
+      t(o, Ns.rdfType, lit(Ns.tCreation), isIri = true),
+      t(o, Ns.hasType, lit(Ns.tProduction), isIri = true),
+      t(o, Ns.hasType, lit(Ns.tPublishing), isIri = true),
+      t(o, Ns.rdfsLabel, concat(lit("creation of Work "), ok.cast("string")),
+        isIri = false, lang = "en"),
+      t(o, Ns.hasCreated, col("work_uri"), isIri = true),
+      t(o, Ns.atSomeTimeWithin, col("o_orderdate").cast("string"),
+        isIri = false, dtype = Ns.xsdDate),
+      t(col("person_uri"), Ns.rdfsLabel, col("cname"), isIri = false),
+      t(col("person_uri"), Ns.rdfType, personType, isIri = true),
+      t(col("agent_uri"), Ns.rdfsLabel,
+        concat(col("cname"), lit(" in role of "), col("role_name")),
+        isIri = false, lang = "en"),
+      t(col("agent_uri"), Ns.rdfType, lit(Ns.tPC14), isIri = true),
+      t(col("agent_uri"), Ns.hasRange, col("person_uri"), isIri = true),
+      t(col("agent_uri"), Ns.inRoleOf, col("role_uri"), isIri = true),
+      t(o, Ns.isDomainOf, col("agent_uri"), isIri = true))
+    val pubRows = Seq(
+      t(col("pub_uri"), Ns.rdfType, lit(Ns.tActor), isIri = true),
+      t(col("pub_uri"), Ns.altLabel, col("pub_name"), isIri = false),
+      t(col("pub_uri"), Ns.hasType, lit(Ns.role + "pbl"), isIri = true),
+      t(col("pubrole_uri"), Ns.rdfsLabel,
+        concat(col("pub_name"), lit(" in the role of publisher")),
+        isIri = false, lang = "en"),
+      t(col("pubrole_uri"), Ns.rdfType, lit(Ns.tPC14), isIri = true),
+      t(col("pubrole_uri"), Ns.hasRange, col("pub_uri"), isIri = true),
+      t(col("pubrole_uri"), Ns.inRoleOf, lit(Ns.role + "pbl"), isIri = true),
+      t(o, Ns.isDomainOf, col("pubrole_uri"), isIri = true)
+    ).map(s => when(ok % 4 =!= 0, s))
+    val placeRows = Seq(
+      t(o, Ns.tookPlaceAt, col("place_uri"), isIri = true),
+      t(col("place_uri"), Ns.rdfType, lit(Ns.tPlace), isIri = true)
+    ).map(s => when(ok % 5 =!= 0, s))
+    b.select(explode(array_compact(
+        array(always ++ pubRows ++ placeRows: _*))).as("t"))
+      .select(col("t.*")).distinct()
   }
 }

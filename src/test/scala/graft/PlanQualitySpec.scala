@@ -134,9 +134,7 @@ class PlanQualitySpec extends SparkSpec {
     val cases = Seq(
       "kg_names" -> operators.Names.nameTriples(Pipeline.transcripts(spark, sfDir)),
       "kg_friends" -> operators.Relations.friendTriples(Pipeline.linked(spark, sfDir)),
-      "kg_education" -> operators.Education.educationTriples(Pipeline.linked(spark, sfDir)),
-      "kg_works_agents" -> operators.Works.agentTriples(
-        sources.Tables.orders(spark, sfDir), sources.Tables.customer(spark, sfDir)))
+      "kg_education" -> operators.Education.educationTriples(Pipeline.linked(spark, sfDir)))
     for ((name, df) <- cases) {
       val p = df.queryExecution.executedPlan.toString
       assert(p.contains("Scan ExistingRDD"),
@@ -146,6 +144,17 @@ class PlanQualitySpec extends SparkSpec {
       assert(!p.contains("Join"),
         s"$name emission must not replay its joins per branch")
     }
+    // works_agents emits its 23 per-record triples as ONE exploded pass
+    // (r6): the place-dictionary broadcast join must appear exactly once
+    // and nothing may shuffle or window — the former shape checkpointed
+    // the joined frame and re-scanned it per branch
+    val wa = operators.Works.agentTriples(
+      sources.Tables.orders(spark, sfDir), sources.Tables.customer(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(wa).size == 1,
+      "works_agents = exactly one broadcast place lookup")
+    assert(!wa.contains("SortMergeJoin") && !wa.contains("Window"),
+      "works_agents emission must stay single-pass and shuffle-join-free")
     Caches.release(spark)
   }
 
