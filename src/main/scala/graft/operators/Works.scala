@@ -120,7 +120,18 @@ object Works {
       (ok % 11).cast("int") + 1)
     val slim = broadcast(customer.select(col("c_custkey").as("o_custkey"),
       col("c_nationkey")))
-    val b = orders.join(slim, Seq("o_custkey"))
+    // spread an under-split orders table across the cores (file-index
+    // probe — the Ann.prepared/Dedup.corpus contract): the single-file
+    // fixture reads as ~4 scan tasks, and since the single-pass emission
+    // below no longer fans out into 23 union branches, those 4 tasks
+    // would otherwise carry the whole partial aggregation of the final
+    // distinct (measured: 5.3 s vs 1.4 s for the same distinct at full
+    // width). A production table with ≥ cores files keeps its layout.
+    val parts = orders.sparkSession.sparkContext.defaultParallelism
+    val ordersSpread =
+      if (orders.inputFiles.length < parts) orders.repartition(parts)
+      else orders
+    val b = ordersSpread.join(slim, Seq("o_custkey"))
       .withColumn("work_uri", concat(lit(Ns.work), ok.cast("string")))
       .withColumn("origin_uri",
         concat(lit(Ns.work), ok.cast("string"), lit("_activity_statement_0")))
@@ -135,12 +146,17 @@ object Works {
         concat(lit(Ns.work), ok.cast("string"), lit("_publisher_role_0")))
       .withColumn("place_uri",
         concat(lit(Ns.place), col("c_nationkey").cast("string")))
-    // ONE pass over the joined frame: all 23 per-record triples (13
+      // materialize the computed columns ONCE: without this barrier
+      // CollapseProject substitutes every withColumn expression into each
+      // of the 23 struct use-sites below (role_name alone fans into 5+
+      // concats), and the resulting mega-projection measured 8.9 s vs
+      // 1.4 s warm — the checkpoint bounds each expression to one
+      // evaluation per row; released by the harness (Caches)
+      .localCheckpoint()
+    // ONE pass over the materialized frame: all 23 per-record triples (13
     // unconditional, 8 publisher-gated, 2 place-gated) ride one exploded
-    // null-compacted struct array. The former 23-branch self-union
-    // replayed the scan + broadcast join per branch (r5 worked around it
-    // with a localCheckpoint read 23×; the single-pass shape needs
-    // neither the checkpoint nor the re-scans). Same multiset.
+    // null-compacted struct array — the former 23-branch self-union
+    // re-scanned the checkpoint per branch. Same multiset.
     def t(subj: org.apache.spark.sql.Column, pred: String,
           obj: org.apache.spark.sql.Column, isIri: Boolean,
           lang: String = "", dtype: String = "") =

@@ -221,7 +221,10 @@ class Round5OpsSpec extends SparkSpec {
     assert((aIds & live).isEmpty, "tracked checkpoint blocks not freed")
     assert(b.count() == 2, "retained checkpoint must survive release()")
     Caches.releaseAll(spark)
-    while (live.nonEmpty && System.currentTimeMillis() < deadline)
+    // fresh deadline: the first poll may have consumed most of the budget
+    // (ADVICE r5 — the reused deadline could expire immediately and flake)
+    val deadline2 = System.currentTimeMillis() + 10000
+    while (live.nonEmpty && System.currentTimeMillis() < deadline2)
       Thread.sleep(50)
     assert(live.isEmpty, "releaseAll must leave zero persistent RDDs")
   }
