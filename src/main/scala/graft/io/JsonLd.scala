@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   * for deterministic line sets. Escaping covers quote/backslash (the
   * emitted value domain carries no control characters; the oracle pins it).
   *
-  * Scale: groupBy(subj, pred) then groupBy(subj) — two partial-agg
-  * shuffles over key-plus-payload only.
+  * Scale: ONE groupBy(subj) partial-agg shuffle over key-plus-payload; the
+  * per-predicate grouping happens inside each subject's collected array
+  * (sorted (pred, obj) structs folded into the entry list with one
+  * `aggregate` pass) instead of a second full shuffle of the same payload.
   */
 object JsonLd {
 
@@ -32,16 +34,28 @@ object JsonLd {
         concat(lit("{\"@value\":\""), esc(col("obj_value")),
           lit("\",\"@type\":\""), col("obj_dtype"), lit("\"}")))
       .otherwise(concat(lit("{\"@value\":\""), esc(col("obj_value")), lit("\"}")))
-    val perPred = triples
-      .select(col("subj"), col("pred"), obj.as("o"))
-      .groupBy("subj", "pred")
-      .agg(array_join(array_sort(collect_list(col("o"))), ",").as("objs"))
-      .select(col("subj"),
-        concat(lit("\""), col("pred"), lit("\":["), col("objs"), lit("]"))
-          .as("entry"))
-    perPred.groupBy("subj")
-      .agg(array_join(array_sort(collect_list(col("entry"))), ",").as("entries"))
-      .select(concat(lit("{\"@id\":\""), col("subj"), lit("\","),
-        col("entries"), lit("}")).as("line"))
+    // ONE shuffle: collect (pred, o) per subject, sort the struct array
+    // (pred-major, object-minor — exactly the order the former
+    // sort-entries-then-sort-objects two-level shape produced: entry
+    // strings "<pred>":[…] sort identically to their preds because '"'
+    // precedes every IRI character), then fold it into the entry list,
+    // opening a new "pred":[ run whenever the pred changes.
+    triples
+      .select(col("subj"), struct(col("pred"), obj.as("o")).as("po"))
+      .groupBy("subj")
+      .agg(array_sort(collect_list(col("po"))).as("pos"))
+      .select(concat(
+        lit("{\"@id\":\""), col("subj"), lit("\","),
+        aggregate(col("pos"),
+          struct(lit("").as("s"), lit("").as("lp")),
+          (acc, x) => struct(
+            concat(acc("s"),
+              when(acc("lp") === x("pred"), concat(lit(","), x("o")))
+                .otherwise(concat(
+                  when(acc("lp") === lit(""), lit("")).otherwise(lit("],")),
+                  lit("\""), x("pred"), lit("\":["), x("o")))).as("s"),
+            x("pred").as("lp")),
+          acc => concat(acc("s"), lit("]"))),
+        lit("}")).as("line"))
   }
 }

@@ -23,7 +23,7 @@ object Quads {
     * used when present; otherwise the conv is recovered by regex. */
   def export(triples: DataFrame): DataFrame = {
     val conv = if (triples.columns.contains("conv")) col("conv")
-      else regexp_extract(col("subj"), "(conv_[0-9]+)", 1)
+      else graft.functions.Fns.convOf(col("subj"))
     triples.select(
       when(conv =!= "", concat(lit(Ns.conv), conv))
         .otherwise(lit(Ns.kg + "graph/uber")).as("graph"),
@@ -67,8 +67,18 @@ object Quads {
     // and join the FULL triple table exactly ONCE at the end to copy the
     // statements of every reached node. Replaces 3 wide 7-column
     // frontier⋈triples joins with 2 slim 2-column hops + 1 copy join.
+    // Edges carry the source's graph label (a FUNCTION of subj — free at
+    // emission, same distinct cardinality), so level-0 derives from the
+    // slim DISTINCT edge set instead of re-scanning + re-shuffling the
+    // full IRI-triple projection a second time (the former frontier-0
+    // distinct was its own full-width pass over `t`).
+    val srcConv = if (t.columns.contains("conv")) col("conv")
+      else graft.functions.Fns.convOf(col("subj"))
+    val srcGraph = when(srcConv =!= "", concat(lit(Ns.conv), srcConv))
+      .otherwise(lit(Ns.kg + "graph/uber"))
     val edges = t.filter(col("obj_is_iri"))
-      .select(col("subj"), col("obj_value").as("dst")).distinct()
+      .select(srcGraph.as("g"), col("subj"), col("obj_value").as("dst"))
+      .distinct()
       .localCheckpoint() // feeds every frontier hop — same self-union rule
     // HOME-GRAPH PRUNING (pure narrow filter, no join): the graph label is
     // a FUNCTION of the subject, so a node n with graphOf(n) == g already
@@ -80,7 +90,7 @@ object Quads {
     // expand or copy; only genuinely cross-graph references (persons,
     // places, works) do. Provably output-identical to the unpruned BFS —
     // the DuckDB oracle runs the unpruned definition and hashes equal.
-    val nodeConv = regexp_extract(col("subj"), "(conv_[0-9]+)", 1)
+    val nodeConv = graft.functions.Fns.convOf(col("subj"))
     val homeGraph = when(nodeConv =!= "", concat(lit(Ns.conv), nodeConv))
       .otherwise(lit(Ns.kg + "graph/uber"))
     def pruneHome(f: DataFrame): DataFrame = f.filter(col("graph") =!= homeGraph)
@@ -90,8 +100,8 @@ object Quads {
     // recompute replaying its distinct shuffles and edge joins; visible as
     // duplicated subtrees in the r6 before-plan). Checkpointing each slim
     // (graph, subj) frontier runs every hop exactly once.
-    var frontier = pruneHome(quads.filter(col("obj_is_iri"))
-      .select(col("graph"), col("obj_value").as("subj"))).distinct()
+    var frontier = pruneHome(edges
+      .select(col("g").as("graph"), col("dst").as("subj"))).distinct()
       .localCheckpoint()
     var reached = frontier
     for (_ <- 1 to 2) { // levels 2 and 3 start from level 1's frontier

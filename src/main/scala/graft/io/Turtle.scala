@@ -46,14 +46,36 @@ object Turtle {
   val headerLines: Seq[String] =
     prefixes.map { case (p, ns) => s"@prefix $p: <$ns> ." }
 
-  /** IRI → prefixed name, or <iri> when no prefix fits / '/' in local name. */
-  def term(c: Column): Column =
-    byLength.foldRight(concat(lit("<"), c, lit(">")): Column) {
-      case ((p, ns), els) =>
-        val rest = c.substr(lit(ns.length + 1), length(c))
-        when(c.startsWith(ns) && !rest.contains("/"),
-          concat(lit(p + ":"), rest)).otherwise(els)
-    }
+  /** prefix keyed by full namespace string — one static literal map. */
+  private val prefixOfNs: Column =
+    map(prefixes.flatMap { case (p, ns) => Seq(lit(ns), lit(p)) }: _*)
+
+  /** IRI → prefixed name, or <iri> when no prefix fits / '/' in local name.
+    *
+    * Semantically the longest-first fold over `byLength`
+    * (startsWith(ns) && no '/' in the remainder), but evaluated as TWO
+    * candidate splits + map lookups instead of 18 per-row
+    * startsWith/substr/contains chains (hot-path expression cost — the
+    * chain scanned the shared "http://…" bytes of every namespace per
+    * branch): every registered namespace ends in '/' or '#', so the only
+    * split points the fold can ever accept are the character after the
+    * IRI's LAST '#' (remainder must still be '/'-free — checked) and the
+    * character after its LAST '/' (remainder '/'-free by construction).
+    * The '#' candidate is the longer one when both exist, preserving
+    * longest-match order. Map equality checks are length-first, so the 18
+    * comparisons are O(1) for all but the one candidate namespace. */
+  def term(c: Column): Column = {
+    val hashLocal  = substring_index(c, "#", -1)
+    val hashNs     = c.substr(lit(1), length(c) - length(hashLocal))
+    val slashLocal = substring_index(c, "/", -1)
+    val slashNs    = c.substr(lit(1), length(c) - length(slashLocal))
+    val p1 = element_at(prefixOfNs, hashNs)
+    val p2 = element_at(prefixOfNs, slashNs)
+    when(c.contains("#") && p1.isNotNull && !hashLocal.contains("/"),
+        concat(p1, lit(":"), hashLocal))
+      .when(p2.isNotNull, concat(p2, lit(":"), slashLocal))
+      .otherwise(concat(lit("<"), c, lit(">")))
+  }
 
   private def escapeLit(c: Column) =
     // literal-pattern escapes via replace() (no regex engine; a no-match

@@ -300,7 +300,7 @@ object Emit {
                      transcripts: DataFrame, linked: DataFrame): DataFrame = {
     val l = persistedLinked(linked)
     factTriples(spark, dir, transcripts, l)
-      .withColumn("conv", regexp_extract(col("subj"), "(conv_[0-9]+)", 1))
+      .withColumn("conv", Fns.convOf(col("subj")))
       .unionAll(contextTriplesConv(l))
       .unionAll(activityTriplesConv(l))
   }

@@ -25,7 +25,7 @@ object Metrics {
     */
   def convStats(triples: DataFrame): DataFrame = {
     val convCol = if (triples.columns.contains("conv")) col("conv")
-      else regexp_extract(col("subj"), "(conv_[0-9]+)", 1)
+      else graft.functions.Fns.convOf(col("subj"))
     val withConv = triples
       .withColumn("conv", convCol)
       .filter(col("conv") =!= "")
@@ -78,8 +78,13 @@ object Metrics {
     // single pass over both URI positions (explode of the per-row hits)
     // instead of a subj-select ∪ obj-select self-union — same round-4
     // cache-trap avoidance as termValidation above; set-identical under
-    // the distinct.
-    val uris = triples.select(explode(filter(array(
+    // the distinct. The pre-filter repeats the two startsWith tests so
+    // the overwhelming majority of rows (no vocab URI in either slot)
+    // skip the per-row array allocation + explode entirely — rows it
+    // drops contributed an empty array, so the output set is unchanged.
+    val uris = triples
+      .filter(inNs(col("subj")) || (col("obj_is_iri") && inNs(col("obj_value"))))
+      .select(explode(filter(array(
         when(inNs(col("subj")), col("subj")),
         when(col("obj_is_iri") && inNs(col("obj_value")), col("obj_value"))),
         x => x.isNotNull)).as("uri"))
