@@ -48,11 +48,15 @@ object SparkEntry {
     // exact dedup (hash groupBy)
     "doc_dedup_exact" -> ((s, d) =>
       operators.Dedup.exact(operators.Dedup.corpus(sources.Tables.documents(s, d)))),
-    // MinHash+LSH candidate pairs
+    // MinHash+LSH candidate pairs. shinglesRaw (no distinct): min is
+    // duplicate-insensitive, so the signatures/bands/candidates are
+    // provably identical and the distinct exchange over the widest
+    // intermediate is skipped (the verify queries keep the distinct —
+    // their Jaccard counts are set arithmetic).
     "doc_minhash_lsh" -> ((s, d) => {
       val c = operators.Dedup.corpus(sources.Tables.documents(s, d))
       operators.Dedup.lshCandidates(operators.Dedup.bands(
-        operators.Dedup.minhash(operators.Dedup.shingles(c))))
+        operators.Dedup.minhash(operators.Dedup.shinglesRaw(c))))
     }),
     // LSH candidates verified with exact n-gram Jaccard (integer decision).
     // The shingle set feeds minhash + both sides of the verify join —

@@ -39,13 +39,21 @@ object Dedup {
     val parts = docs0.sparkSession.sparkContext.defaultParallelism
     val docs = if (docs0.inputFiles.length < parts) docs0.repartition(parts)
       else docs0
-    val base = docs.select(col("doc_id"), col("text"))
-    val near = docs.select(
-      (col("doc_id") + 100000).as("doc_id"),
+    // ONE scan for the 3-way augmentation: the former base ∪ near ∪ exact
+    // self-union planned the scan + spread exchange once PER BRANCH
+    // (Catalyst shares no common subtrees), so every dedup query read and
+    // round-robin-shuffled the documents table three times. The same
+    // per-row explode the streaming dedup path already uses
+    // (StreamOps.dedupStream) emits all variants in one pass — identical
+    // row multiset (the exact branch's doc_id<50 filter becomes the
+    // null-compacted conditional struct).
+    val v1 = struct(col("doc_id").as("doc_id"), col("text").as("text"))
+    val v2 = struct((col("doc_id") + 100000L).as("doc_id"),
       array_join(slice(split(col("text"), " "), 4, 1000000), " ").as("text"))
-    val exact = docs.filter(col("doc_id") < 50).select(
-      (col("doc_id") + 200000).as("doc_id"), col("text"))
-    base.unionAll(near).unionAll(exact)
+    val v3 = when(col("doc_id") < 50,
+      struct((col("doc_id") + 200000L).as("doc_id"), col("text").as("text")))
+    docs.select(explode(array_compact(array(v1, v2, v3))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
   }
 
   /** Exact dedup: hash the text ONCE, window over the hash — keep the min
@@ -63,14 +71,25 @@ object Dedup {
   /** Word k-gram shingles: (doc_id, shingle), distinct per doc.
     * Guard: sequence(1, n) with n<1 would generate DESCENDING values in
     * Spark, so short docs explicitly yield an empty shingle array. */
-  def shingles(c: DataFrame, k: Int = 3): DataFrame = {
+  def shingles(c: DataFrame, k: Int = 3): DataFrame =
+    shinglesRaw(c, k).distinct()
+
+  /** shingles WITHOUT the per-doc set-distinct — for duplicate-insensitive
+    * consumers only (minhash's min aggregates: a repeated shingle cannot
+    * change any per-doc min, so the signature — and every band key and
+    * candidate pair derived from it — is provably identical). Skipping the
+    * distinct removes a full exchange of the widest intermediate (the
+    * (doc_id, shingle) stream); the explode feeds minhash's partial
+    * aggregation map-side instead. Jaccard verification MUST keep the
+    * distinct (its inter/union counts are set arithmetic). */
+  def shinglesRaw(c: DataFrame, k: Int = 3): DataFrame = {
     val words = split(col("text"), " ")
     val cnt = size(words) - (k - 1)
     val shingleArr = when(cnt >= 1,
       transform(sequence(lit(1), cnt), i =>
         concat_ws(" ", (0 until k).map(o => element_at(words, i + o)): _*))
     ).otherwise(array().cast("array<string>"))
-    c.select(col("doc_id"), explode(shingleArr).as("shingle")).distinct()
+    c.select(col("doc_id"), explode(shingleArr).as("shingle"))
   }
 
   val NumPerms = 12
@@ -100,8 +119,15 @@ object Dedup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
   }
 
-  /** Candidate pairs: docs sharing any band bucket, a < b, distinct. */
-  def lshCandidates(b: DataFrame): DataFrame = {
+  /** Candidate pairs: docs sharing any band bucket, a < b, distinct.
+    * The band frame feeds BOTH sides of the bucket self-join — without
+    * materialization the whole upstream pipeline (corpus → shingles →
+    * minhash → bands) is planned and RUN twice, once per side (visible as
+    * two full copies in the r6 before-plan). The frame is slim
+    * (doc_id, band, band_key — 4 rows/doc), so the checkpoint is
+    * near-free and the upstream runs exactly once. */
+  def lshCandidates(b0: DataFrame): DataFrame = {
+    val b = b0.localCheckpoint()
     val l = b.select(col("band"), col("band_key"), col("doc_id").as("a"))
     val r = b.select(col("band"), col("band_key"), col("doc_id").as("b"))
     l.join(r, Seq("band", "band_key")).filter(col("a") < col("b"))
