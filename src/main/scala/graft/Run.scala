@@ -71,6 +71,12 @@ object Run {
         .repartition(spark.sparkContext.defaultParallelism, col("bucket"))
     }
     val canon = m.stage("canon") {
+      // Measured and REJECTED (r6): routing ctx/act rows around the
+      // canonicalize rewrite (Pipeline.canonTriples's namespace split)
+      // was wall-neutral here — over a staged parquet input the rewrite's
+      // broadcast join is not the cost — and the two-branch union
+      // fragmented the stage output 65 → 129 partitions (worse file
+      // layout for every canon consumer). The single-pass rewrite stays.
       val t = triples.drop("bucket")
       SameAs.canonicalize(t, SameAs.closure(SameAs.edgesOf(t)))
     }
