@@ -158,6 +158,29 @@ class PlanQualitySpec extends SparkSpec {
     Caches.release(spark)
   }
 
+  test("dedup corpus is ONE scan; LSH candidates read materialized bands") {
+    spark.catalog.clearCache()
+    // r6 batch 7: the 3-way corpus augmentation is one per-row explode —
+    // an edit back to the base ∪ near ∪ exact self-union re-plans the
+    // documents scan + spread exchange once per branch (3× the read)
+    val corpus = operators.Dedup.corpus(sources.Tables.documents(spark, sfDir))
+    val cp = corpus.queryExecution.executedPlan.toString
+    val docScans = "documents\\.parquet".r.findAllIn(cp).size
+    assert(docScans == 1, s"corpus must scan documents once, found $docScans")
+    assert(cp.contains("Generate"), "corpus augmentation rides one explode")
+    // the band frame feeds BOTH sides of the bucket self-join: candidates
+    // must read the checkpointed frame, never re-run corpus→shingles→
+    // minhash→bands once per side (the r6 before-plan's 12-scan shape)
+    val cand = operators.Dedup.lshCandidates(operators.Dedup.bands(
+      operators.Dedup.minhash(operators.Dedup.shinglesRaw(corpus))))
+    val p = cand.queryExecution.executedPlan.toString
+    assert(p.contains("Scan ExistingRDD"),
+      "candidates must read the materialized band frame")
+    assert(!p.contains("parquet"),
+      "the candidate self-join must not re-scan the corpus per side")
+    Caches.release(spark)
+  }
+
   test("whole-stage codegen covers the extraction path (no UDF breaks)") {
     // the source spread's Exchange wraps the plan in AdaptiveSparkPlan,
     // which only shows its codegen spans once finalized — run the query,
