@@ -36,31 +36,27 @@ object Pipeline {
     SameAs.closure(SameAs.edgesOf(triples(s, d)))
 
   def canonTriples(s: SparkSession, d: String): DataFrame = {
-    // ONE materialization, split by SUBJECT NAMESPACE:
-    // context/activity subjects live under Ns.ctx / Ns.act by construction
-    // and fact subjects under Ns.conv / Ns.person — disjoint prefixes — so
-    // filtering the materialized table reproduces exactly the former
-    // factTriples / contextTriples / activityTriples partition (oracle
-    // unchanged). The former shape re-ran the ctx ordinal window + snippet
-    // build and the activity window per call ON TOP of the fact emission;
-    // this shape pays one emission (cache-substituted with the harness's
-    // warm shared triple table when staged) plus one checkpoint. The
-    // localCheckpoint (not a mere cache) stays required: the rewrite reads
-    // the table in three branches (candidate/bypass/edges), and a
-    // self-union over a cached plan silently rebuilds one branch
-    // (SameAs.canonicalize input contract).
-    import graft.model.Ns
-    // measured (r6): keeping the checkpoint even over the warm cached
-    // table wins — its three consumers re-scan cheap deserialized
-    // checkpoint blocks instead of decompressing the columnar cache 3×
-    // (4.28 s vs 3.80 s warm with a skip-when-cached variant)
-    val all = triples(s, d).localCheckpoint()
-    val isCtxAct =
-      col("subj").startsWith(Ns.ctx) || col("subj").startsWith(Ns.act)
-    val facts = all.filter(!isCtxAct)
+    // Materialize ONLY the fact triples (they feed the edge extraction +
+    // both rewrite branches — canonicalize's read-twice input contract);
+    // the snippet-heavy context/activity triples stream through exactly
+    // once, untouched by the rewrite (ctx/act subjects/objects are
+    // canon-inert by namespace). A full-table localCheckpoint variant
+    // (materialize `triples` once, filter the checkpoint per branch) was
+    // shipped mid-round and then REVERTED by measurement: it forces full
+    // materialization of every string column that Catalyst otherwise
+    // prunes under the bench's count action, and at scale the copy
+    // dominates — local[2] × scale-19 compute-only reps 248-308 s vs
+    // 56-58 s for this shape (the 58.7M-row checkpoint spills), while
+    // under the frozen warm bench the two differ by noise (3.55 s vs
+    // 3.81 s). Fewest materialized bytes wins at scale; in the staged
+    // Run the triples parquet plays the checkpoint's role.
+    val l = Emit.persistedLinked(linked(s, d))
+    val facts = Emit.factTriples(s, d, transcripts(s, d), l)
+      .localCheckpoint()
     val canon = SameAs.closure(SameAs.edgesOf(facts))
     SameAs.canonicalize(facts, canon)
-      .unionAll(all.filter(isCtxAct)) // ctx/act rows — canon-inert bypass
+      .unionAll(Emit.contextTriples(l))
+      .unionAll(Emit.activityTriples(l)) // date/cert objects — canon-inert
   }
 
   /** Context ordinals (W1/A5) surfaced directly for verification — the
