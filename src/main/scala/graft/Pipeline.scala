@@ -36,27 +36,48 @@ object Pipeline {
     SameAs.closure(SameAs.edgesOf(triples(s, d)))
 
   def canonTriples(s: SparkSession, d: String): DataFrame = {
-    // Materialize ONLY the fact triples (they feed the edge extraction +
-    // both rewrite branches — canonicalize's read-twice input contract);
-    // the snippet-heavy context/activity triples stream through exactly
-    // once, untouched by the rewrite (ctx/act subjects/objects are
-    // canon-inert by namespace). A full-table localCheckpoint variant
-    // (materialize `triples` once, filter the checkpoint per branch) was
-    // shipped mid-round and then REVERTED by measurement: it forces full
-    // materialization of every string column that Catalyst otherwise
-    // prunes under the bench's count action, and at scale the copy
-    // dominates — local[2] × scale-19 compute-only reps 248-308 s vs
-    // 56-58 s for this shape (the 58.7M-row checkpoint spills), while
-    // under the frozen warm bench the two differ by noise (3.55 s vs
-    // 3.81 s). Fewest materialized bytes wins at scale; in the staged
-    // Run the triples parquet plays the checkpoint's role.
-    val l = Emit.persistedLinked(linked(s, d))
-    val facts = Emit.factTriples(s, d, transcripts(s, d), l)
-      .localCheckpoint()
-    val canon = SameAs.closure(SameAs.edgesOf(facts))
-    SameAs.canonicalize(facts, canon)
-      .unionAll(Emit.contextTriples(l))
-      .unionAll(Emit.activityTriples(l)) // date/cert objects — canon-inert
+    // PLAN SELECTION by what is already materialized (both branches emit
+    // the identical row multiset; the cold branch is the Verify-gated
+    // plan, the cached branch is set-equality-tested against it):
+    //
+    // COLD (nothing cached — the scaling protocol's compute path, a
+    // standalone canon query): materialize ONLY the fact triples (they
+    // feed the edge extraction + both rewrite branches — canonicalize's
+    // read-twice input contract); the snippet-heavy context/activity
+    // triples stream through exactly once, untouched by the rewrite
+    // (ctx/act subjects/objects are canon-inert by namespace), and a
+    // bare count over them prunes the string building entirely.
+    // Measured (local[2] × scale-19 compute-only, interleaved A/B):
+    // 55.7-57.7 s vs 248-355 s for a full-table checkpoint — the
+    // 58.7M-row copy materializes every string column and spills.
+    //
+    // CACHED (the emission stage frame is already materialized — the
+    // warm harness, any staged context): checkpoint the full table once
+    // (a cheap cache read) and split it by subject namespace; fact
+    // emission is NOT re-run per call. Measured (full warm suite):
+    // 2.3-2.8 s vs 5.9-6.9 s for the fact-only shape, whose per-call
+    // fact re-emission (three shuffles + checkpoint) pays full price
+    // under the pass's cache pressure. In the staged Run the triples
+    // parquet plays the checkpoint's role outright.
+    val staged = triplesWithConv(s, d)
+    if (staged.storageLevel != org.apache.spark.storage.StorageLevel.NONE) {
+      import graft.model.Ns
+      val all = triples(s, d).localCheckpoint()
+      val isCtxAct =
+        col("subj").startsWith(Ns.ctx) || col("subj").startsWith(Ns.act)
+      val facts = all.filter(!isCtxAct)
+      val canon = SameAs.closure(SameAs.edgesOf(facts))
+      SameAs.canonicalize(facts, canon)
+        .unionAll(all.filter(isCtxAct)) // ctx/act rows — canon-inert bypass
+    } else {
+      val l = Emit.persistedLinked(linked(s, d))
+      val facts = Emit.factTriples(s, d, transcripts(s, d), l)
+        .localCheckpoint()
+      val canon = SameAs.closure(SameAs.edgesOf(facts))
+      SameAs.canonicalize(facts, canon)
+        .unionAll(Emit.contextTriples(l))
+        .unionAll(Emit.activityTriples(l)) // date/cert objects — canon-inert
+    }
   }
 
   /** Context ordinals (W1/A5) surfaced directly for verification — the

@@ -154,6 +154,30 @@ class TextInvariantSpec extends SparkSpec {
     assert(t.unionAll(t).distinct().count() == t.count())
   }
 
+  test("canonTriples cached-dispatch branch equals the cold branch") {
+    // canonTriples picks its plan by whether the emission stage frame is
+    // already materialized (r6 batch 8): the COLD fact-only-checkpoint
+    // branch is the Verify/oracle-gated plan; this pins the CACHED
+    // namespace-split branch to the same row multiset.
+    spark.catalog.clearCache()
+    val cold = Pipeline.canonTriples(spark, sfDir)
+      .as[graft.model.Triple].collect().toSet
+    Caches.release(spark)
+    val staged = Pipeline.triplesWithConv(spark, sfDir)
+    staged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    staged.count()
+    try {
+      assert(staged.storageLevel !=
+        org.apache.spark.storage.StorageLevel.NONE) // dispatch precondition
+      val warm = Pipeline.canonTriples(spark, sfDir)
+        .as[graft.model.Triple].collect().toSet
+      assert(warm == cold)
+    } finally {
+      staged.unpersist()
+      Caches.release(spark)
+    }
+  }
+
   test("triple set is invariant under input permutation (full pipeline)") {
     import graft.operators.{Emit, Link, Mentions}
     val tr = Pipeline.transcripts(spark, sfDir)
